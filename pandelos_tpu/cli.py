@@ -1,0 +1,131 @@
+"""Command-line interface.
+
+One typed CLI covering all three of the reference's config layers
+(``pandelos.sh`` positional args, Java commons-cli ``-i -k -o -c -j``,
+Rust structopt run/check/auto):
+
+    pandelos-tpu run input.faa out_prefix [--k K] [--backend xla]
+    pandelos-tpu complexity input.faa [--k K]          (the -c mode)
+    pandelos-tpu cluster input.faa net_file out_prefix (resume from .net)
+    pandelos-tpu check first.net second.net            (differential check)
+    pandelos-tpu k input.faa                           (k selection only)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pandelos_tpu.config import PipelineConfig
+
+
+def _add_config_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--k", type=int, default=None, help="k-mer length override")
+    p.add_argument(
+        "--backend",
+        default="auto",
+        choices=["auto", "oracle", "xla", "pallas"],
+    )
+    p.add_argument("--row-block", type=int, default=None)
+    p.add_argument("--col-block", type=int, default=None)
+    p.add_argument("--level-cap", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+
+
+def _config_from_args(args) -> PipelineConfig:
+    cfg = PipelineConfig(k=args.k, backend=args.backend)
+    if getattr(args, "row_block", None):
+        cfg.row_block = args.row_block
+    if getattr(args, "col_block", None):
+        cfg.col_block = args.col_block
+    if getattr(args, "level_cap", None):
+        cfg.level_cap = args.level_cap
+    if getattr(args, "checkpoint_dir", None):
+        cfg.checkpoint_dir = args.checkpoint_dir
+    return cfg
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="pandelos-tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="full pipeline: .faa -> .net + .clus")
+    p_run.add_argument("input")
+    p_run.add_argument("out_prefix")
+    _add_config_args(p_run)
+
+    p_cx = sub.add_parser("complexity", help="index + cost report only (-c)")
+    p_cx.add_argument("input")
+    _add_config_args(p_cx)
+
+    p_cl = sub.add_parser("cluster", help="resume clustering from a .net")
+    p_cl.add_argument("input")
+    p_cl.add_argument("net")
+    p_cl.add_argument("out_prefix")
+
+    p_ck = sub.add_parser("check", help="differential .net comparison")
+    p_ck.add_argument("first")
+    p_ck.add_argument("second")
+    p_ck.add_argument("--tolerance", type=float, default=0.001)
+
+    p_k = sub.add_parser("k", help="entropy-based k selection")
+    p_k.add_argument("input")
+
+    p_q = sub.add_parser("quality", help="family quality statistics")
+    p_q.add_argument("input")
+    p_q.add_argument("clus")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "run":
+        from pandelos_tpu.pipeline import run_pipeline
+
+        res = run_pipeline(args.input, args.out_prefix, _config_from_args(args))
+        print(json.dumps({"stats": res.stats, "phase_times": res.phase_times}, indent=2))
+        return 0
+
+    if args.cmd == "complexity":
+        from pandelos_tpu.pipeline import run_pipeline
+
+        cfg = _config_from_args(args)
+        cfg.only_complexity = True
+        res = run_pipeline(args.input, None, cfg)
+        print(json.dumps(res.stats, indent=2))
+        return 0
+
+    if args.cmd == "cluster":
+        from pandelos_tpu.pipeline import cluster_from_net
+
+        res = cluster_from_net(args.input, args.net, args.out_prefix)
+        print(json.dumps({"n_families": len(res.families)}, indent=2))
+        return 0
+
+    if args.cmd == "check":
+        from pandelos_tpu.io.net import diff_nets, read_net
+
+        report = diff_nets(
+            read_net(args.first), read_net(args.second), args.tolerance
+        )
+        print(json.dumps(report, indent=2))
+        return 0 if report["identical"] else 1
+
+    if args.cmd == "k":
+        from pandelos_tpu.io.faa import read_faa
+        from pandelos_tpu.ksel import k_report
+
+        ds = read_faa(args.input)
+        print(json.dumps(k_report(ds.sequences), indent=2))
+        return 0
+
+    if args.cmd == "quality":
+        from pandelos_tpu.bench.quality import quality_report
+
+        print(json.dumps(quality_report(args.input, args.clus), indent=2))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,84 @@
+"""``.net`` intermediate format: one undirected edge per line.
+
+Contract: ``seqIdx \t seqIdx \t score`` (writer ``PangeneNet.java:167-174``
+with ``key <= node`` dedup; readers ``netclu_ng.py:43-56`` and
+``benchmark/test-framework/src/verify.rs:48-86``).
+
+The reference writes scores as Java ``Double.toString`` of the f32 score
+widened to double; Python ``repr(float(np.float32(x)))`` produces the same
+shortest-round-trip decimal for the same double in the value range of
+Jaccard scores (0, 1].
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+
+def write_net(path: str, edges) -> None:
+    """Write edges as (src, dst, score) with src <= dst, sorted.
+
+    ``edges`` is an iterable of (int, int, float-like).  Scores are widened
+    from f32 to double before printing, matching the reference writer.
+    """
+    canon = {}
+    for a, b, s in edges:
+        a, b = int(a), int(b)
+        if a > b:
+            a, b = b, a
+        canon[(a, b)] = float(np.float32(s))
+    with open(path, "w") as fh:
+        for (a, b) in sorted(canon):
+            fh.write(f"{a}\t{b}\t{canon[(a, b)]!r}\n")
+
+
+def read_net(path: str) -> List[Tuple[int, int, float]]:
+    edges = []
+    with open(path, "r") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            cols = line.split("\t")
+            edges.append((int(cols[0]), int(cols[1]), float(cols[2])))
+    return edges
+
+
+def canonical_edge_set(edges) -> dict:
+    """Canonical (min,max) -> score map, as the Rust verifier's
+    ``BTreeSet<Point>`` (verify.rs:48-86)."""
+    out = {}
+    for a, b, s in edges:
+        a, b = int(a), int(b)
+        if a > b:
+            a, b = b, a
+        out[(a, b)] = float(s)
+    return out
+
+
+def diff_nets(edges_a, edges_b, tolerance: float = 0.001) -> dict:
+    """Differential check equivalent to ``test-framework check``
+    (main.rs:129-168): counts equal / missing / wrong-weight edges."""
+    sa = canonical_edge_set(edges_a)
+    sb = canonical_edge_set(edges_b)
+    equal = 0
+    wrong_weight = 0
+    for key, w in sa.items():
+        if key in sb:
+            if abs(w - sb[key]) <= tolerance:
+                equal += 1
+            else:
+                wrong_weight += 1
+    missing_in_a = len(sb) - equal - wrong_weight
+    missing_in_b = len(sa) - equal - wrong_weight
+    return {
+        "equal": equal,
+        "wrong_weight": wrong_weight,
+        "missing_in_first": missing_in_a,
+        "missing_in_second": missing_in_b,
+        "total_first": len(sa),
+        "total_second": len(sb),
+        "identical": wrong_weight == 0 and missing_in_a == 0 and missing_in_b == 0,
+    }

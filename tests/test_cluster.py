@@ -1,0 +1,57 @@
+import numpy as np
+
+from pandelos_tpu.cluster import cluster_network, families_as_names
+from pandelos_tpu.io.clus import family_lines
+
+
+def test_single_clean_component():
+    # one component, no same-genome non-adjacent pairs -> one family
+    edges = [(0, 1, 0.9), (1, 2, 0.8)]
+    seq_genome = np.array([0, 1, 2])
+    res = cluster_network(edges, seq_genome, 4)
+    assert res.families == [[0, 1, 2]]
+    assert res.singletons == [3]
+
+
+def test_collision_triggers_split():
+    # Two pairs of same-genome genes bridged: genes 0,1 genome0; 2,3 genome1.
+    # 0-2 and 1-3 are strong pairs, 2-3 a weak bridge; 0,1 not adjacent and
+    # same genome -> collision -> Girvan-Newman must split the bridge.
+    edges = [(0, 2, 1.0), (1, 3, 1.0), (2, 3, 0.1)]
+    seq_genome = np.array([0, 0, 1, 1])
+    res = cluster_network(edges, seq_genome, 4)
+    fams = sorted(map(tuple, res.families))
+    assert (0, 2) in fams and (1, 3) in fams
+    assert res.singletons == []
+
+
+def test_self_loop_creates_isolated_node_family():
+    edges = [(5, 5, 1.0), (0, 1, 0.5)]
+    seq_genome = np.array([0, 1, 0, 0, 0, 1])
+    res = cluster_network(edges, seq_genome, 6)
+    assert [5] in res.families  # netclu adds the node, skips the edge
+    assert 5 not in res.singletons
+
+
+def test_family_rendering():
+    edges = [(0, 1, 0.9)]
+    seq_genome = np.array([0, 1, 0])
+    res = cluster_network(edges, seq_genome, 3)
+    fams, singles = families_as_names(res, ["geneA", "geneB", "geneC"])
+    lines = family_lines(fams, singles)
+    assert lines == sorted(["geneA geneB", "geneC "])
+
+
+def test_recursive_split_deep():
+    # chain of 3 same-genome pairs -> repeated splitting until no collisions
+    edges = [
+        (0, 3, 1.0),
+        (1, 4, 1.0),
+        (2, 5, 1.0),
+        (3, 4, 0.05),
+        (4, 5, 0.05),
+    ]
+    seq_genome = np.array([0, 0, 0, 1, 1, 1])
+    res = cluster_network(edges, seq_genome, 6)
+    fams = sorted(map(tuple, res.families))
+    assert (0, 3) in fams and (1, 4) in fams and (2, 5) in fams

@@ -1,0 +1,74 @@
+import os
+
+import numpy as np
+import pytest
+
+from pandelos_tpu.io.clus import family_lines, read_clus, write_clus
+from pandelos_tpu.io.faa import read_faa, write_faa
+from pandelos_tpu.io.net import diff_nets, read_net, write_net
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def test_read_toy_faa():
+    ds = read_faa(os.path.join(DATA, "toy.faa"))
+    assert ds.n_sequences == 4
+    assert ds.n_genomes == 2
+    # genome ids assigned in first-appearance order (PangeneIData.java:57-62)
+    assert ds.genome_names == ["NC_000913", "NC_002655"]
+    assert ds.seq_genome == [0, 0, 1, 1]
+    assert ds.names[0] == "b0001@NC_000913:1"
+    assert ds.sequences[0] == "MKRISTTITTTITITTGNGAG"
+    assert ds.descriptions[3] == "protein HokE"
+    assert ds.genome_sets() == [[0, 1], [2, 3]]
+
+
+def test_faa_roundtrip(tmp_path):
+    ds = read_faa(os.path.join(DATA, "toy.faa"))
+    p = str(tmp_path / "rt.faa")
+    write_faa(p, ds)
+    ds2 = read_faa(p)
+    assert ds2 == ds
+
+
+def test_faa_blank_lines(tmp_path):
+    p = str(tmp_path / "b.faa")
+    with open(p, "w") as fh:
+        fh.write("g1\ta\tdesc\n\nAAAA\n\n\ng1\tb\tdesc\nCCCC\n\n")
+    ds = read_faa(p)
+    assert ds.sequences == ["AAAA", "CCCC"]
+    assert ds.names == ["a", "b"]
+
+
+def test_net_roundtrip_and_diff(tmp_path):
+    edges = [(0, 3, np.float32(0.5)), (2, 1, np.float32(0.25))]
+    p = str(tmp_path / "a.net")
+    write_net(p, edges)
+    back = read_net(p)
+    assert {(a, b) for a, b, _ in back} == {(0, 3), (1, 2)}
+    rep = diff_nets(back, edges)
+    assert rep["identical"]
+    rep2 = diff_nets(back, [(0, 3, 0.5)])
+    assert not rep2["identical"]
+    assert rep2["missing_in_first"] == 0
+    assert rep2["missing_in_second"] == 1
+    # tolerance behaviour (main.rs:144-148)
+    rep3 = diff_nets([(0, 3, 0.5)], [(0, 3, 0.5005)])
+    assert rep3["identical"]
+    rep4 = diff_nets([(0, 3, 0.5)], [(0, 3, 0.502)])
+    assert rep4["wrong_weight"] == 1
+
+
+def test_clus_lines_quirks(tmp_path):
+    lines = family_lines([["b", "a"], ["z"]], ["s1"])
+    # multi-member: names joined, order preserved from family; GN-split
+    # singleton: bare name; never-in-net singleton: trailing space
+    assert lines == sorted({"b a", "z", "s1 "})
+    p = str(tmp_path / "x.clus")
+    write_clus(p, lines)
+    fams = read_clus(p)
+    assert sorted(map(tuple, fams)) == [("b", "a"), ("s1",), ("z",)]
+
+
+def test_clus_dedup():
+    assert family_lines([["a", "b"], ["a", "b"]], []) == ["a b"]

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Metric: k-mer index lookups per second through the scoring phase — the
+reference's own inner-loop unit of work.  The reference hardcodes its
+measured native-core throughput as 40,505.5 lookups/ms
+(``ig/native/library.cpp:352``) and derives run ETAs from it; the same
+"total lookups" complexity model (Σ over shared-rank posting groups of
+group size per member, ``library.cpp:327``) is computed here by the index,
+so ``vs_baseline`` = our lookups/s divided by the reference's lookups/s on
+the same workload definition.
+
+Dataset: scale-matched synthetic stand-in for the reference's largest
+benchmark (Mycoplasma, 64 genomes — ``example/mycoplasma.list.txt``),
+since NCBI downloads need network access.  Cached between runs.
+
+Env overrides: BENCH_PRESET (default mycoplasma64), BENCH_BACKEND.
+"""
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_LOOKUPS_PER_SEC = 40505.500586716735 * 1000.0  # library.cpp:352
+
+
+def main() -> int:
+    preset = os.environ.get("BENCH_PRESET", "mycoplasma64")
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+
+    import numpy as np
+
+    from pandelos_tpu.bench.synth import generate_preset
+    from pandelos_tpu.config import PipelineConfig
+    from pandelos_tpu.index import KmerIndex, build_index
+    from pandelos_tpu.io.faa import FaaDataset
+
+    timings = {}
+
+    # --- dataset + index (cached; host preprocessing timed separately)
+    idx_path = os.path.join(cache_dir, f"{preset}.index.npz")
+    meta_path = os.path.join(cache_dir, f"{preset}.meta.json")
+    if os.path.exists(idx_path) and os.path.exists(meta_path):
+        index = KmerIndex.load(idx_path)
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        timings["index_build"] = meta.get("index_build_s")
+    else:
+        t0 = time.monotonic()
+        ds: FaaDataset = generate_preset(preset)
+        timings["synth"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        index = build_index(ds)
+        timings["index_build"] = time.monotonic() - t0
+        index.save(idx_path)
+        with open(meta_path, "w") as fh:
+            json.dump(
+                {
+                    "preset": preset,
+                    "n_sequences": index.n_sequences,
+                    "n_genomes": index.n_genomes,
+                    "index_build_s": timings["index_build"],
+                },
+                fh,
+            )
+
+    total_lookups = int(index.computation_costs.sum())
+
+    backend = os.environ.get("BENCH_BACKEND", "xla")
+    config = PipelineConfig(
+        backend=backend, row_block=128, col_block=512, level_cap=4
+    )
+
+    from pandelos_tpu.ops.score import compute_cells_xla, pad_profiles
+
+    import jax
+
+    device = jax.devices()[0]
+
+    # --- warmup: compile the kernels on a single row-block shape
+    t0 = time.monotonic()
+    padded = pad_profiles(index, config.row_block, config.col_block)
+    timings["pad_profiles"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    cells = compute_cells_xla(index, config)  # includes first-call compile
+    timings["score_with_compile"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    cells = compute_cells_xla(index, config)
+    score_time = time.monotonic() - t0
+    timings["score"] = score_time
+
+    # --- finalize + network + cluster (host), end-to-end sanity
+    from pandelos_tpu.cluster import cluster_network
+    from pandelos_tpu.net import build_network, finalize_scores
+
+    t0 = time.monotonic()
+    fin = finalize_scores(cells, index.kseq_lengths, index.k)
+    net = build_network(
+        fin, index.seq_genome, index.n_genomes, index.n_sequences
+    )
+    timings["network"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    clusters = cluster_network(net.edges, index.seq_genome, index.n_sequences)
+    timings["cluster"] = time.monotonic() - t0
+
+    lookups_per_sec = total_lookups / score_time
+    maxrss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+    result = {
+        "metric": "kmer_index_lookups_per_sec",
+        "value": round(lookups_per_sec, 1),
+        "unit": "lookups/s",
+        "vs_baseline": round(lookups_per_sec / REFERENCE_LOOKUPS_PER_SEC, 3),
+        "extra": {
+            "preset": preset,
+            "device": str(device),
+            "backend": backend,
+            "n_sequences": index.n_sequences,
+            "n_genomes": index.n_genomes,
+            "k": index.k,
+            "total_lookups": total_lookups,
+            "n_cells": int(len(cells.row)),
+            "n_edges": len(net.edges),
+            "n_families": len(clusters.families),
+            "maxrss_mb": round(maxrss_mb, 1),
+            "timings_s": {kk: round(v, 3) for kk, v in timings.items() if v is not None},
+            "reference_eta_s": round(
+                total_lookups / REFERENCE_LOOKUPS_PER_SEC, 3
+            ),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -78,6 +78,17 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
 
+    try:
+        return _dispatch(args)
+    except FileNotFoundError as e:
+        print(f"error: file not found: {e.filename}", file=sys.stderr)
+        return 2
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+def _dispatch(args) -> int:
     if args.cmd == "run":
         from pandelos_tpu.pipeline import run_pipeline
 

@@ -131,22 +131,30 @@ def build_network(
         & (cells.score >= row_threshold[row64])
     )
 
-    # Collect undirected canonical edges.  Accepted inter cells appear in
-    # both directions (symmetry), the reference adds both and dedups on
-    # write with key <= node (PangeneNet.java:167-174).
-    edge_map = {}
-    for idx in np.flatnonzero(accepted):
-        a, b = int(cells.row[idx]), int(cells.col[idx])
-        if a > b:
-            a, b = b, a
-        edge_map[(a, b)] = np.float32(cells.score[idx])
-    n_inter = len(edge_map)
-    for idx in np.flatnonzero(intra):
-        a, b = int(cells.row[idx]), int(cells.col[idx])
-        edge_map.setdefault((a, b), np.float32(cells.score[idx]))
-    n_intra = len(edge_map) - n_inter
+    # Collect undirected canonical edges (vectorized).  Accepted inter
+    # cells appear in both directions (symmetry, identical scores); the
+    # reference adds both and dedups on write with key <= node
+    # (PangeneNet.java:167-174).
+    def _canon_keys(mask):
+        a = np.minimum(row64[mask], col64[mask])
+        b = np.maximum(row64[mask], col64[mask])
+        return (a << np.int64(32)) | b
 
-    edges = [(a, b, float(s)) for (a, b), s in sorted(edge_map.items())]
+    inter_keys = np.unique(_canon_keys(accepted))
+    n_inter = int(inter_keys.size)
+    intra_keys = np.unique(_canon_keys(intra))
+    # intra pairs are same-genome, inter pairs cross-genome: disjoint sets
+    all_keys = np.concatenate([inter_keys, intra_keys])
+    n_intra = int(intra_keys.size)
+
+    order = np.argsort(all_keys, kind="stable")
+    all_keys = all_keys[order]
+    ea = (all_keys >> np.int64(32)).astype(np.int64)
+    eb = (all_keys & np.int64(0xFFFFFFFF)).astype(np.int64)
+    # look up each edge's score from M: score(a,b) == M[a, genome(b)] for
+    # inter-BBH edges by construction; for intra edges score == M[a, g].
+    escore = M[ea, seq_genome[eb].astype(np.int64)]
+    edges = list(zip(ea.tolist(), eb.tolist(), escore.astype(float).tolist()))
 
     # Diagnostic stats in the spirit of Pangenes.java:130-143 (print-only in
     # the reference), structured here.

@@ -128,6 +128,8 @@ def _score_row_block(
     A_pres = (A > 0).astype(jnp.float32)
 
     dot_dtype = jnp.bfloat16 if matmul_dtype == "bf16" else jnp.float32
+    # level matrices of the row side are reused across every column block
+    A_levels = [(A >= t).astype(dot_dtype) for t in range(1, level_cap + 1)]
 
     def one_col_block(cb, carry):
         inter_acc, perc_acc, tr_acc = carry
@@ -153,10 +155,9 @@ def _score_row_block(
         )
         inter = jnp.zeros((R, col_block), dtype=jnp.float32)
         for t in range(1, level_cap + 1):
-            At = (A >= t).astype(dot_dtype)
             Bt = (B >= t).astype(dot_dtype)
             inter = inter + jax.lax.dot_general(
-                At,
+                A_levels[t - 1],
                 Bt,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -177,16 +178,34 @@ def _score_row_block(
     return inter, perc, tr
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "n_true"))
-def _extract_nonzero(inter, perc, tr, row_offset, cap: int, n_true: int):
-    """Compact score>0 candidate cells (intersection > 0, excluding the
-    self cell and padding) into fixed-size index lists."""
+@functools.partial(jax.jit, static_argnames=("cap", "n_true", "k2"))
+def _extract_nonzero(
+    inter, perc, tr, row_offset, row_lens, col_lens, cap: int, n_true: int,
+    k2: int,
+):
+    """Compact surviving cells into fixed-size index lists.
+
+    A cell survives when intersection > 0 AND the reference's validity
+    threshold holds (library.cpp:499-500): ``perc_cnt/|A| >= 1/(2k)`` OR
+    ``tr_perc_cnt/|B| >= 1/(2k)``.  The threshold is applied here as the
+    exact integer test ``2k * perc_cnt >= |A|``, which is equivalent to the
+    reference's f32 comparison for all |A| below ~1e6 (the f32 rounding gap
+    around 1/(2k) is far smaller than 1/|A|).  Self cells and padding are
+    excluded (library.cpp:484-487).
+    """
     R, G_pad = inter.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, G_pad), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (R, G_pad), 1)
     global_rows = rows + row_offset
-    mask = (inter > 0) & (cols != global_rows) & (cols < n_true) & (
-        global_rows < n_true
+    valid = (jnp.float32(k2) * perc >= row_lens[:, None]) | (
+        jnp.float32(k2) * tr >= col_lens[None, :]
+    )
+    mask = (
+        (inter > 0)
+        & valid
+        & (cols != global_rows)
+        & (cols < n_true)
+        & (global_rows < n_true)
     )
     count = jnp.sum(mask, dtype=jnp.int32)
     flat = mask.reshape(-1)
@@ -203,6 +222,66 @@ def _extract_nonzero(inter, perc, tr, row_offset, cap: int, n_true: int):
         tr.reshape(-1)[safe],
         count,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "vocab_size",
+        "row_block",
+        "col_block",
+        "level_cap",
+        "matmul_dtype",
+        "cap",
+        "n_true",
+        "k2",
+    ),
+)
+def _score_all_blocks(
+    all_ids,
+    all_counts,
+    col_lens,
+    starts,  # int32 [n_blocks]
+    vocab_size: int,
+    row_block: int,
+    col_block: int,
+    level_cap: int,
+    matmul_dtype: str,
+    cap: int,
+    n_true: int,
+    k2: int,
+):
+    """Whole scoring pass as one device program: a lax.scan over row
+    blocks, each computing its dense accumulators and compacting surviving
+    cells into a fixed-size slot.  One dispatch + one fetch for the entire
+    dataset — essential because remote-TPU dispatch round-trips cost
+    ~30ms each."""
+    W = all_ids.shape[1]
+
+    def body(_, start):
+        row_ids = jax.lax.dynamic_slice(all_ids, (start, 0), (row_block, W))
+        row_counts = jax.lax.dynamic_slice(
+            all_counts, (start, 0), (row_block, W)
+        )
+        inter, perc, tr = _score_row_block(
+            row_ids,
+            row_counts,
+            all_ids,
+            all_counts,
+            vocab_size=vocab_size,
+            col_block=col_block,
+            level_cap=level_cap,
+            matmul_dtype=matmul_dtype,
+        )
+        row_lens = jax.lax.dynamic_slice(col_lens, (start,), (row_block,))
+        out = _extract_nonzero(
+            inter, perc, tr, start, row_lens, col_lens,
+            cap=cap, n_true=n_true, k2=k2,
+        )
+        return None, out
+
+    _, outs = jax.lax.scan(body, None, starts)
+    return outs
 
 
 def _host_level_cap_corrections(index: KmerIndex, level_cap: int):
@@ -261,54 +340,82 @@ def compute_cells_xla(
     all_ids = jnp.asarray(padded.ids)
     all_counts = jnp.asarray(padded.counts)
 
-    rows_out, cols_out, i_out, p_out, t_out = [], [], [], [], []
     cap = config.nnz_cap_per_row * row_block
 
-    for start in range(0, G_pad, row_block):
-        if start >= G:
-            break
-        row_ids = jax.lax.dynamic_slice(
-            all_ids, (start, 0), (row_block, padded.width)
-        )
-        row_counts = jax.lax.dynamic_slice(
-            all_counts, (start, 0), (row_block, padded.width)
-        )
-        inter, perc, tr = _score_row_block(
-            row_ids,
-            row_counts,
+    lens_pad = np.zeros(G_pad, dtype=np.float32)
+    lens_pad[:G] = index.kseq_lengths
+    col_lens = jnp.asarray(lens_pad)
+
+    starts = np.arange(0, G_pad, row_block, dtype=np.int32)
+    starts = starts[starts < G]
+
+    r, c, iv, pv, tv, counts = _score_all_blocks(
+        all_ids,
+        all_counts,
+        col_lens,
+        jnp.asarray(starts),
+        vocab_size=index.vocab_size,
+        row_block=row_block,
+        col_block=col_block,
+        level_cap=config.level_cap,
+        matmul_dtype=config.matmul_dtype,
+        cap=cap,
+        n_true=G,
+        k2=2 * index.k,
+    )
+    counts = np.asarray(counts)
+    r = np.asarray(r).reshape(-1)
+    c = np.asarray(c).reshape(-1)
+    iv = np.asarray(iv).reshape(-1)
+    pv = np.asarray(pv).reshape(-1)
+    tv = np.asarray(tv).reshape(-1)
+
+    keep = r >= 0
+    rows_out = [r[keep]]
+    cols_out = [c[keep]]
+    i_out = [iv[keep].astype(np.int64)]
+    p_out = [pv[keep].astype(np.int64)]
+    t_out = [tv[keep].astype(np.int64)]
+
+    # Rare overflow retry: blocks whose surviving-cell count exceeded the
+    # per-block capacity are recomputed individually with a larger cap.
+    for bi in np.flatnonzero(counts > cap):
+        start = int(starts[bi])
+        local_cap = _round_up(int(counts[bi]), row_block)
+        # drop the truncated block's results, then recompute it whole
+        blk_mask = (rows_out[0] >= start) & (rows_out[0] < start + row_block)
+        cols_out[0] = cols_out[0][~blk_mask]
+        i_out[0] = i_out[0][~blk_mask]
+        p_out[0] = p_out[0][~blk_mask]
+        t_out[0] = t_out[0][~blk_mask]
+        rows_out[0] = rows_out[0][~blk_mask]
+        r2, c2, iv2, pv2, tv2, _ = _score_all_blocks(
             all_ids,
             all_counts,
+            col_lens,
+            jnp.asarray(np.array([start], np.int32)),
             vocab_size=index.vocab_size,
+            row_block=row_block,
             col_block=col_block,
             level_cap=config.level_cap,
             matmul_dtype=config.matmul_dtype,
+            cap=local_cap,
+            n_true=G,
+            k2=2 * index.k,
         )
-        local_cap = cap
-        while True:
-            r, c, iv, pv, tv, count = _extract_nonzero(
-                inter,
-                perc,
-                tr,
-                jnp.int32(start),
-                cap=local_cap,
-                n_true=G,
-            )
-            count = int(count)
-            if count <= local_cap:
-                break
-            local_cap = _round_up(count, row_block)
-        keep = np.asarray(r) >= 0
-        rows_out.append(np.asarray(r)[keep])
-        cols_out.append(np.asarray(c)[keep])
-        i_out.append(np.asarray(iv)[keep].astype(np.int64))
-        p_out.append(np.asarray(pv)[keep].astype(np.int64))
-        t_out.append(np.asarray(tv)[keep].astype(np.int64))
+        r2 = np.asarray(r2).reshape(-1)
+        keep2 = r2 >= 0
+        rows_out.append(r2[keep2])
+        cols_out.append(np.asarray(c2).reshape(-1)[keep2])
+        i_out.append(np.asarray(iv2).reshape(-1)[keep2].astype(np.int64))
+        p_out.append(np.asarray(pv2).reshape(-1)[keep2].astype(np.int64))
+        t_out.append(np.asarray(tv2).reshape(-1)[keep2].astype(np.int64))
 
-    row = np.concatenate(rows_out) if rows_out else np.zeros(0, np.int32)
-    col = np.concatenate(cols_out) if cols_out else np.zeros(0, np.int32)
-    inter = np.concatenate(i_out) if i_out else np.zeros(0, np.int64)
-    perc = np.concatenate(p_out) if p_out else np.zeros(0, np.int64)
-    tr = np.concatenate(t_out) if t_out else np.zeros(0, np.int64)
+    row = np.concatenate(rows_out)
+    col = np.concatenate(cols_out)
+    inter = np.concatenate(i_out)
+    perc = np.concatenate(p_out)
+    tr = np.concatenate(t_out)
 
     corrections = _host_level_cap_corrections(index, config.level_cap)
     if corrections:
@@ -316,9 +423,11 @@ def compute_cells_xla(
         for (a, b), extra in corrections.items():
             n = cell_index.get((a, b))
             if n is None:
-                raise AssertionError(
-                    "level-cap correction for a cell that was not extracted"
-                )
+                # The cell was dropped by the on-device validity filter; a
+                # correction can only raise intersection, never validity
+                # (which depends on perc counters only), so it stays
+                # dropped.
+                continue
             inter[n] += extra
 
     return ScoreCells(

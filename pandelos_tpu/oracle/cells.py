@@ -48,6 +48,21 @@ class ScoreCells:
         )
 
 
+def apply_validity(cells: ScoreCells, kseq_lengths, k: int) -> ScoreCells:
+    """Drop cells failing the 1/(2k) validity threshold (exact integer
+    form of library.cpp:499-500) — mirrors the device-side filter."""
+    a = np.asarray(kseq_lengths)[cells.row].astype(np.int64)
+    b = np.asarray(kseq_lengths)[cells.col].astype(np.int64)
+    keep = (2 * k * cells.perc_cnt >= a) | (2 * k * cells.tr_perc_cnt >= b)
+    return ScoreCells(
+        cells.row[keep],
+        cells.col[keep],
+        cells.intersection[keep],
+        cells.perc_cnt[keep],
+        cells.tr_perc_cnt[keep],
+    )
+
+
 def _posting_csr(index: KmerIndex):
     """Vocabulary-major postings: for each shared k-mer id, the (gene,
     count) entries — the analogue of kmers_ranges (library.cpp:297-335)."""

@@ -5,7 +5,7 @@ from pandelos_tpu.config import PipelineConfig
 from pandelos_tpu.index import build_index
 from pandelos_tpu.io.faa import FaaDataset
 from pandelos_tpu.ops.score import compute_cells_xla
-from pandelos_tpu.oracle.cells import compute_cells_oracle
+from pandelos_tpu.oracle.cells import apply_validity, compute_cells_oracle
 
 from tests.test_cells_and_net import _random_ds
 
@@ -20,6 +20,12 @@ def _cells_dict(cells):
     }
 
 
+def _oracle_valid(idx):
+    """Oracle cells with the device-side validity filter applied (the XLA
+    path drops invalid cells before extraction)."""
+    return apply_validity(compute_cells_oracle(idx), idx.kseq_lengths, idx.k)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 5])
 def test_xla_cells_match_oracle(seed):
     rng = np.random.default_rng(seed)
@@ -27,7 +33,7 @@ def test_xla_cells_match_oracle(seed):
     idx = build_index(ds, k=3)
     cfg = PipelineConfig(row_block=16, col_block=128, level_cap=4)
     got = _cells_dict(compute_cells_xla(idx, cfg))
-    want = _cells_dict(compute_cells_oracle(idx))
+    want = _cells_dict(_oracle_valid(idx))
     assert got == want
 
 
@@ -43,7 +49,7 @@ def test_xla_cells_level_cap_correction():
     idx = build_index(ds, k=3)
     cfg = PipelineConfig(row_block=8, col_block=128, level_cap=2)
     got = _cells_dict(compute_cells_xla(idx, cfg))
-    want = _cells_dict(compute_cells_oracle(idx))
+    want = _cells_dict(_oracle_valid(idx))
     assert got == want
     # sanity: AAA count is 28 in gene a, 23 in gene b -> min 23 > cap
     key = (0, 1)
@@ -70,7 +76,19 @@ def test_xla_blocking_invariance(row_block, col_block):
     idx = build_index(ds, k=3)
     cfg = PipelineConfig(row_block=row_block, col_block=col_block)
     got = _cells_dict(compute_cells_xla(idx, cfg))
-    want = _cells_dict(compute_cells_oracle(idx))
+    want = _cells_dict(_oracle_valid(idx))
+    assert got == want
+
+
+def test_xla_overflow_retry():
+    # Force the per-block extraction capacity to overflow so truncated
+    # blocks are recomputed with a larger cap.
+    rng = np.random.default_rng(13)
+    ds = _random_ds(rng, n_genomes=4, n_fams=10)
+    idx = build_index(ds, k=3)
+    cfg = PipelineConfig(row_block=8, col_block=128, nnz_cap_per_row=1)
+    got = _cells_dict(compute_cells_xla(idx, cfg))
+    want = _cells_dict(_oracle_valid(idx))
     assert got == want
 
 
@@ -80,5 +98,5 @@ def test_xla_f32_matmul_dtype():
     idx = build_index(ds, k=3)
     cfg = PipelineConfig(matmul_dtype="f32", row_block=8, col_block=128)
     got = _cells_dict(compute_cells_xla(idx, cfg))
-    want = _cells_dict(compute_cells_oracle(idx))
+    want = _cells_dict(_oracle_valid(idx))
     assert got == want

@@ -174,7 +174,10 @@ def _window_keys(concat: np.ndarray, k: int, alphabet_codes: np.ndarray):
 
 
 def build_index(
-    ds: FaaDataset, k: Optional[int] = None, only_complexity: bool = False
+    ds: FaaDataset,
+    k: Optional[int] = None,
+    only_complexity: bool = False,
+    use_native: bool = True,
 ) -> KmerIndex:
     from pandelos_tpu.ksel import select_k
 
@@ -188,6 +191,30 @@ def build_index(
     concat, offsets, lengths = _encode_sequences(ds.sequences)
 
     kseq_lengths = np.maximum(lengths - k + 1, 0).astype(np.int64)
+
+    if use_native and n_seq > 0:
+        from pandelos_tpu.native import native_build_index
+
+        native = native_build_index(concat, offsets, k)
+        if native is not None:
+            ptr, ids, cnts, costs, vocab_size, total_vocab = native
+            if only_complexity:
+                ids = ids[:0]
+                cnts = cnts[:0]
+                ptr = np.zeros(n_seq + 1, dtype=np.int64)
+            return KmerIndex(
+                k=int(k),
+                n_sequences=n_seq,
+                n_genomes=ds.n_genomes,
+                seq_genome=seq_genome,
+                kseq_lengths=kseq_lengths.astype(np.int32),
+                total_vocab=total_vocab,
+                vocab_size=vocab_size,
+                profile_ptr=ptr,
+                profile_ids=ids,
+                profile_counts=cnts,
+                computation_costs=costs,
+            )
 
     alphabet_codes = np.unique(concat) if concat.size else np.zeros(0, np.uint8)
 

@@ -1,0 +1,136 @@
+"""Build + load the native host-index core via ctypes.
+
+The shared library is compiled on first use with g++ (no pybind11 in this
+environment; plain C ABI + ctypes).  Set ``PANDELOS_NATIVE=0`` to force the
+pure-NumPy path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "host_index.cpp")
+_SO = os.path.join(_HERE, "build", "libpandelos_host.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _build_so() -> None:
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        _SRC,
+        "-o",
+        _SO,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if os.environ.get("PANDELOS_NATIVE", "1") == "0":
+            _load_failed = True
+            return None
+        try:
+            if (not os.path.exists(_SO)) or os.path.getmtime(
+                _SO
+            ) < os.path.getmtime(_SRC):
+                _build_so()
+            lib = ctypes.CDLL(_SO)
+        except Exception:
+            _load_failed = True
+            return None
+        lib.pt_build_index.restype = ctypes.c_int
+        lib.pt_build_index.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.pt_free.restype = None
+        lib.pt_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def native_build_index(concat: np.ndarray, offsets: np.ndarray, k: int):
+    """Returns (profile_ptr, profile_ids, profile_counts, costs,
+    vocab_size, total_vocab) or None when unavailable / key overflow."""
+    lib = _load()
+    if lib is None:
+        return None
+    concat = np.ascontiguousarray(concat, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n_seq = offsets.shape[0] - 1
+
+    p_ptr = ctypes.POINTER(ctypes.c_int64)()
+    p_ids = ctypes.POINTER(ctypes.c_int32)()
+    p_cnt = ctypes.POINTER(ctypes.c_int32)()
+    p_cost = ctypes.POINTER(ctypes.c_int64)()
+    nnz = ctypes.c_int64()
+    vocab = ctypes.c_int64()
+    total_vocab = ctypes.c_int64()
+
+    rc = lib.pt_build_index(
+        concat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(concat.shape[0]),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n_seq),
+        ctypes.c_int32(k),
+        ctypes.byref(p_ptr),
+        ctypes.byref(p_ids),
+        ctypes.byref(p_cnt),
+        ctypes.byref(p_cost),
+        ctypes.byref(nnz),
+        ctypes.byref(vocab),
+        ctypes.byref(total_vocab),
+    )
+    if rc != 0:
+        return None  # -2: key overflow -> NumPy wide-key fallback
+
+    try:
+        ptr = np.ctypeslib.as_array(p_ptr, shape=(n_seq + 1,)).copy()
+        n = int(nnz.value)
+        ids = np.ctypeslib.as_array(p_ids, shape=(max(n, 1),))[:n].copy()
+        cnts = np.ctypeslib.as_array(p_cnt, shape=(max(n, 1),))[:n].copy()
+        costs = np.ctypeslib.as_array(p_cost, shape=(max(n_seq, 1),))[
+            :n_seq
+        ].copy()
+    finally:
+        lib.pt_free(p_ptr)
+        lib.pt_free(p_ids)
+        lib.pt_free(p_cnt)
+        lib.pt_free(p_cost)
+
+    return ptr, ids, cnts, costs, int(vocab.value), int(total_vocab.value)

@@ -6,16 +6,25 @@ row-block of R genes against a column-block of C genes, with both sides
 projected onto the row-block's local vocabulary (V dense columns):
 
 - ``perc_cnt(i,j)    = sum_v count_i(v) * [count_j(v) > 0]``  -> one matmul
-  ``A_counts @ B_presence^T`` (f32, exact for integer counts < 2^24),
+  ``A_counts @ B_presence^T``,
 - ``tr_perc_cnt(i,j) = sum_v [count_i(v) > 0] * count_j(v)``  -> one matmul,
 - ``intersection(i,j) = sum_v min(count_i(v), count_j(v))`` via the level
   decomposition ``min(a,b) = sum_t [a>=t][b>=t]`` -> ``level_cap`` matmuls
-  of 0/1 matrices (bf16 operands, f32 accumulation, exact).
+  of 0/1 matrices; accumulation is always f32 (exact for integers < 2^24).
 
-Counts above ``level_cap`` are clipped for the level matmuls; the exact
-correction ``min(a,b) - level_cap`` for pairs where BOTH genes exceed the
-cap on the same k-mer is applied on host (such entries are rare: long
-homopolymer runs).  ``perc``/``tr_perc`` always use unclipped counts.
+Exactness with bf16 operands: presence/level matrices are 0/1 (exact);
+count matrices are clipped to ``COUNT_CLIP`` = 256 (the largest integer
+bfloat16 represents exactly) and counts above the clip get exact host-side
+corrections.  Counts above ``level_cap`` likewise get host corrections for
+the intersection (``min(a,b) - level_cap`` when BOTH sides exceed the cap).
+Such entries are rare (long homopolymer runs).
+
+Scheduling: rows are permuted by profile width and processed in
+width-bucketed row blocks, so a block of short profiles gets a
+proportionally small local vocabulary V = R * W_bucket (less matmul and
+projection work).  The whole pass for one bucket runs as a single
+``lax.scan`` device program — remote-TPU dispatch round-trips cost ~30ms,
+so per-block host loops are fatal.
 
 The reference's cache-blocking analogue is the 2048-wide column stepping at
 ``library.cpp:453-458``; here the block sizes are the (row_block, col_block)
@@ -41,6 +50,10 @@ from pandelos_tpu.config import PipelineConfig
 from pandelos_tpu.index import KmerIndex
 from pandelos_tpu.oracle.cells import ScoreCells
 
+# Largest integer bfloat16 represents exactly; counts are clipped here for
+# the bf16 matmuls and corrected on host above it.
+COUNT_CLIP = 256
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -60,33 +73,27 @@ class PaddedProfiles:
 def pad_profiles(index: KmerIndex, row_block: int, col_block: int) -> PaddedProfiles:
     G = index.n_sequences
     W = max(128, _round_up(max(1, index.max_profile_len), 128))
-    G_pad = max(_round_up(max(1, G), row_block), _round_up(max(1, G), col_block))
+    # Always strictly more padded rows than genes: padded (empty) rows are
+    # used as masked targets for row-permutation padding.
+    G_pad = _round_up(G + 1, max(row_block, col_block))
     sentinel = index.vocab_size
     ids = np.full((G_pad, W), sentinel, dtype=np.int32)
     counts = np.zeros((G_pad, W), dtype=np.int32)
     ptr = index.profile_ptr
+    widths = np.diff(ptr)
+    if G > 0 and widths.max(initial=0) > W:
+        raise AssertionError("profile wider than padding width")
     for i in range(G):
         s, e = ptr[i], ptr[i + 1]
         n = int(e - s)
-        if n > W:
-            raise AssertionError("profile wider than padding width")
         ids[i, :n] = index.profile_ids[s:e]
         counts[i, :n] = index.profile_counts[s:e]
     return PaddedProfiles(ids, counts, G, index.vocab_size, W)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "vocab_size",
-        "col_block",
-        "level_cap",
-        "matmul_dtype",
-    ),
-)
-def _score_row_block(
-    row_ids,  # int32 [R, W]
-    row_counts,  # int32 [R, W]
+def _score_row_block_core(
+    row_ids,  # int32 [R, W_row]
+    row_counts,  # int32 [R, W_row]
     all_ids,  # int32 [G_pad, W]
     all_counts,  # int32 [G_pad, W]
     vocab_size: int,
@@ -94,26 +101,28 @@ def _score_row_block(
     level_cap: int,
     matmul_dtype: str,
 ):
-    """Compute integer accumulators for one row-block against all columns.
+    """Integer accumulators for one row-block against all columns.
 
-    Returns (inter, perc, tr) each f32 [R, G_pad] holding exact integers.
+    Returns (inter, perc, tr) each f32 [R, G_pad] holding exact integers
+    (subject to the documented COUNT_CLIP / level_cap clipping, corrected
+    on host).
     """
-    R, W = row_ids.shape
-    G_pad = all_ids.shape[0]
-    V = R * W
+    R, W_row = row_ids.shape
+    G_pad, W = all_ids.shape
+    V = R * W_row
     sentinel = vocab_size
+
+    dot_dtype = jnp.bfloat16 if matmul_dtype == "bf16" else jnp.float32
 
     # --- local vocabulary of the row block (sorted, padded with sentinel)
     rv = jnp.unique(row_ids.reshape(-1), size=V, fill_value=sentinel)
 
     # --- inverse table: global id -> local position (or stay at slot V)
     inv = jnp.full((vocab_size + 1,), V, dtype=jnp.int32)
-    # Sentinel-valued rv entries all write to inv[sentinel], which is never
-    # read back meaningfully (gathers of sentinel ids are masked below).
     inv = inv.at[rv].set(jnp.arange(V, dtype=jnp.int32), mode="drop")
 
     def project(ids_blk, counts_blk):
-        """[C, W] profiles -> dense [C, V(+1)] count matrix (f32)."""
+        """[C, w] profiles -> dense [C, V] count matrix (f32)."""
         pos = inv[jnp.clip(ids_blk, 0, vocab_size)]
         pos = jnp.where(ids_blk == sentinel, V, pos)
         C = ids_blk.shape[0]
@@ -125,11 +134,15 @@ def _score_row_block(
         return dense[:, :V]
 
     A = project(row_ids, row_counts)  # [R, V] counts (f32 exact ints)
-    A_pres = (A > 0).astype(jnp.float32)
-
-    dot_dtype = jnp.bfloat16 if matmul_dtype == "bf16" else jnp.float32
+    A_pres = (A > 0).astype(dot_dtype)
+    A_cnt = jnp.minimum(A, COUNT_CLIP).astype(dot_dtype)
     # level matrices of the row side are reused across every column block
     A_levels = [(A >= t).astype(dot_dtype) for t in range(1, level_cap + 1)]
+
+    def dot_nt(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
     def one_col_block(cb, carry):
         inter_acc, perc_acc, tr_acc = carry
@@ -139,29 +152,14 @@ def _score_row_block(
             all_counts, (start, 0), (col_block, W)
         )
         B = project(ids_blk, counts_blk)  # [C, V]
-        B_pres = (B > 0).astype(jnp.float32)
+        B_pres = (B > 0).astype(dot_dtype)
+        B_cnt = jnp.minimum(B, COUNT_CLIP).astype(dot_dtype)
 
-        perc = jax.lax.dot_general(
-            A,
-            B_pres,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        tr = jax.lax.dot_general(
-            A_pres,
-            B,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        inter = jnp.zeros((R, col_block), dtype=jnp.float32)
-        for t in range(1, level_cap + 1):
-            Bt = (B >= t).astype(dot_dtype)
-            inter = inter + jax.lax.dot_general(
-                A_levels[t - 1],
-                Bt,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        perc = dot_nt(A_cnt, B_pres)
+        tr = dot_nt(A_pres, B_cnt)
+        inter = dot_nt(A_levels[0], B_pres)
+        for t in range(2, level_cap + 1):
+            inter = inter + dot_nt(A_levels[t - 1], (B >= t).astype(dot_dtype))
 
         inter_acc = jax.lax.dynamic_update_slice(inter_acc, inter, (0, start))
         perc_acc = jax.lax.dynamic_update_slice(perc_acc, perc, (0, start))
@@ -178,10 +176,35 @@ def _score_row_block(
     return inter, perc, tr
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "n_true", "k2"))
-def _extract_nonzero(
-    inter, perc, tr, row_offset, row_lens, col_lens, cap: int, n_true: int,
-    k2: int,
+@functools.partial(
+    jax.jit,
+    static_argnames=("vocab_size", "col_block", "level_cap", "matmul_dtype"),
+)
+def _score_row_block(
+    row_ids,
+    row_counts,
+    all_ids,
+    all_counts,
+    vocab_size: int,
+    col_block: int,
+    level_cap: int,
+    matmul_dtype: str,
+):
+    """Standalone jitted single-block scoring (entry point / mesh step)."""
+    return _score_row_block_core(
+        row_ids,
+        row_counts,
+        all_ids,
+        all_counts,
+        vocab_size,
+        col_block,
+        level_cap,
+        matmul_dtype,
+    )
+
+
+def _extract_nonzero_core(
+    inter, perc, tr, grow, row_lens, col_lens, cap: int, n_true: int, k2: int
 ):
     """Compact surviving cells into fixed-size index lists.
 
@@ -192,31 +215,32 @@ def _extract_nonzero(
     reference's f32 comparison for all |A| below ~1e6 (the f32 rounding gap
     around 1/(2k) is far smaller than 1/|A|).  Self cells and padding are
     excluded (library.cpp:484-487).
+
+    ``grow`` is the per-local-row GLOBAL gene id (rows are processed in
+    width-sorted permuted order); padded slots carry an id >= n_true.
     """
     R, G_pad = inter.shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R, G_pad), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (R, G_pad), 1)
-    global_rows = rows + row_offset
     valid = (jnp.float32(k2) * perc >= row_lens[:, None]) | (
         jnp.float32(k2) * tr >= col_lens[None, :]
     )
     mask = (
         (inter > 0)
         & valid
-        & (cols != global_rows)
+        & (cols != grow[:, None])
         & (cols < n_true)
-        & (global_rows < n_true)
+        & (grow[:, None] < n_true)
     )
     count = jnp.sum(mask, dtype=jnp.int32)
     flat = mask.reshape(-1)
     (idx,) = jnp.nonzero(flat, size=cap, fill_value=-1)
     safe = jnp.maximum(idx, 0)
-    r = safe // G_pad + row_offset
+    r = grow[safe // G_pad]
     c = safe % G_pad
-    valid = idx >= 0
+    valid_idx = idx >= 0
     return (
-        jnp.where(valid, r, -1),
-        jnp.where(valid, c, -1),
+        jnp.where(valid_idx, r, -1),
+        jnp.where(valid_idx, c, -1),
         inter.reshape(-1)[safe],
         perc.reshape(-1)[safe],
         tr.reshape(-1)[safe],
@@ -229,6 +253,7 @@ def _extract_nonzero(
     static_argnames=(
         "vocab_size",
         "row_block",
+        "w_row",
         "col_block",
         "level_cap",
         "matmul_dtype",
@@ -241,9 +266,11 @@ def _score_all_blocks(
     all_ids,
     all_counts,
     col_lens,
-    starts,  # int32 [n_blocks]
+    perm_pad,  # int32 [n_blocks * row_block]: width-sorted gene order
+    starts,  # int32 [n_blocks]: offsets into perm_pad
     vocab_size: int,
     row_block: int,
+    w_row: int,
     col_block: int,
     level_cap: int,
     matmul_dtype: str,
@@ -251,32 +278,27 @@ def _score_all_blocks(
     n_true: int,
     k2: int,
 ):
-    """Whole scoring pass as one device program: a lax.scan over row
-    blocks, each computing its dense accumulators and compacting surviving
-    cells into a fixed-size slot.  One dispatch + one fetch for the entire
-    dataset — essential because remote-TPU dispatch round-trips cost
-    ~30ms each."""
-    W = all_ids.shape[1]
+    """Whole scoring pass for one width bucket as one device program: a
+    lax.scan over row blocks, each compacting surviving cells into a
+    fixed-size slot.  One dispatch + one fetch for the entire bucket."""
 
     def body(_, start):
-        row_ids = jax.lax.dynamic_slice(all_ids, (start, 0), (row_block, W))
-        row_counts = jax.lax.dynamic_slice(
-            all_counts, (start, 0), (row_block, W)
-        )
-        inter, perc, tr = _score_row_block(
+        idxs = jax.lax.dynamic_slice(perm_pad, (start,), (row_block,))
+        row_ids = all_ids[idxs, :w_row]
+        row_counts = all_counts[idxs, :w_row]
+        inter, perc, tr = _score_row_block_core(
             row_ids,
             row_counts,
             all_ids,
             all_counts,
-            vocab_size=vocab_size,
-            col_block=col_block,
-            level_cap=level_cap,
-            matmul_dtype=matmul_dtype,
+            vocab_size,
+            col_block,
+            level_cap,
+            matmul_dtype,
         )
-        row_lens = jax.lax.dynamic_slice(col_lens, (start,), (row_block,))
-        out = _extract_nonzero(
-            inter, perc, tr, start, row_lens, col_lens,
-            cap=cap, n_true=n_true, k2=k2,
+        row_lens = col_lens[jnp.minimum(idxs, col_lens.shape[0] - 1)]
+        out = _extract_nonzero_core(
+            inter, perc, tr, idxs, row_lens, col_lens, cap, n_true, k2
         )
         return None, out
 
@@ -321,6 +343,85 @@ def _host_level_cap_corrections(index: KmerIndex, level_cap: int):
     return corrections
 
 
+def _host_count_clip_corrections(index: KmerIndex):
+    """Sparse exact corrections for per-(gene,kmer) counts > COUNT_CLIP
+    (bf16 matmul clipping of perc/tr counts).
+
+    Returns dict (i, j) -> (d_perc, d_tr): for every over-clip entry
+    (gene i, kmer v, count c) and every other gene j sharing v,
+    perc_cnt(i, j) is short by c - COUNT_CLIP and tr_perc_cnt(j, i)
+    likewise.
+    """
+    over = np.flatnonzero(index.profile_counts > COUNT_CLIP)
+    if over.size == 0:
+        return {}
+    gene_of_entry = np.repeat(
+        np.arange(index.n_sequences, dtype=np.int64),
+        np.diff(index.profile_ptr),
+    )
+    # posting lists: all entries grouped by kmer id
+    order = np.argsort(index.profile_ids, kind="stable")
+    post_ids = index.profile_ids[order]
+    post_gene = gene_of_entry[order]
+    corrections: dict = {}
+    for e in over:
+        i = int(gene_of_entry[e])
+        v = int(index.profile_ids[e])
+        extra = int(index.profile_counts[e]) - COUNT_CLIP
+        lo = np.searchsorted(post_ids, v, side="left")
+        hi = np.searchsorted(post_ids, v, side="right")
+        for j in post_gene[lo:hi]:
+            j = int(j)
+            if j == i:
+                continue
+            dp, dt = corrections.get((i, j), (0, 0))
+            corrections[(i, j)] = (dp + extra, dt)
+            dp, dt = corrections.get((j, i), (0, 0))
+            corrections[(j, i)] = (dp, dt + extra)
+    return corrections
+
+
+def _host_compute_cell(index: KmerIndex, i: int, j: int):
+    """Exact (intersection, perc_cnt, tr_perc_cnt) for one ordered pair."""
+    si, ei = index.profile_ptr[i], index.profile_ptr[i + 1]
+    sj, ej = index.profile_ptr[j], index.profile_ptr[j + 1]
+    ids_i = index.profile_ids[si:ei]
+    ids_j = index.profile_ids[sj:ej]
+    common, ia, ja = np.intersect1d(
+        ids_i, ids_j, assume_unique=True, return_indices=True
+    )
+    ci = index.profile_counts[si:ei][ia].astype(np.int64)
+    cj = index.profile_counts[sj:ej][ja].astype(np.int64)
+    return (
+        int(np.minimum(ci, cj).sum()),
+        int(ci.sum()),
+        int(cj.sum()),
+    )
+
+
+def _width_buckets(widths: np.ndarray, row_block: int, w_max: int):
+    """Permute genes by profile width into row blocks; group blocks by the
+    per-block padded width class.  Returns list of
+    (w_bucket, perm_pad, starts) with perm padding value = len(widths)."""
+    G = widths.shape[0]
+    perm = np.argsort(widths, kind="stable").astype(np.int32)
+    n_blocks = (G + row_block - 1) // row_block
+    perm_pad = np.full(n_blocks * row_block, G, dtype=np.int32)
+    perm_pad[:G] = perm
+    buckets: dict = {}
+    for b in range(n_blocks):
+        blk = perm_pad[b * row_block : (b + 1) * row_block]
+        real = blk[blk < G]
+        wb = int(widths[real].max()) if real.size else 1
+        wb = max(128, _round_up(wb, 128))
+        wb = min(wb, w_max)
+        buckets.setdefault(wb, []).append(b * row_block)
+    return [
+        (wb, perm_pad, np.asarray(starts, dtype=np.int32))
+        for wb, starts in sorted(buckets.items())
+    ]
+
+
 def compute_cells_xla(
     index: KmerIndex, config: Optional[PipelineConfig] = None
 ) -> ScoreCells:
@@ -346,56 +447,20 @@ def compute_cells_xla(
     lens_pad[:G] = index.kseq_lengths
     col_lens = jnp.asarray(lens_pad)
 
-    starts = np.arange(0, G_pad, row_block, dtype=np.int32)
-    starts = starts[starts < G]
+    widths = np.diff(index.profile_ptr)
 
-    r, c, iv, pv, tv, counts = _score_all_blocks(
-        all_ids,
-        all_counts,
-        col_lens,
-        jnp.asarray(starts),
-        vocab_size=index.vocab_size,
-        row_block=row_block,
-        col_block=col_block,
-        level_cap=config.level_cap,
-        matmul_dtype=config.matmul_dtype,
-        cap=cap,
-        n_true=G,
-        k2=2 * index.k,
-    )
-    counts = np.asarray(counts)
-    r = np.asarray(r).reshape(-1)
-    c = np.asarray(c).reshape(-1)
-    iv = np.asarray(iv).reshape(-1)
-    pv = np.asarray(pv).reshape(-1)
-    tv = np.asarray(tv).reshape(-1)
+    rows_out, cols_out, i_out, p_out, t_out = [], [], [], [], []
 
-    keep = r >= 0
-    rows_out = [r[keep]]
-    cols_out = [c[keep]]
-    i_out = [iv[keep].astype(np.int64)]
-    p_out = [pv[keep].astype(np.int64)]
-    t_out = [tv[keep].astype(np.int64)]
-
-    # Rare overflow retry: blocks whose surviving-cell count exceeded the
-    # per-block capacity are recomputed individually with a larger cap.
-    for bi in np.flatnonzero(counts > cap):
-        start = int(starts[bi])
-        local_cap = _round_up(int(counts[bi]), row_block)
-        # drop the truncated block's results, then recompute it whole
-        blk_mask = (rows_out[0] >= start) & (rows_out[0] < start + row_block)
-        cols_out[0] = cols_out[0][~blk_mask]
-        i_out[0] = i_out[0][~blk_mask]
-        p_out[0] = p_out[0][~blk_mask]
-        t_out[0] = t_out[0][~blk_mask]
-        rows_out[0] = rows_out[0][~blk_mask]
-        r2, c2, iv2, pv2, tv2, _ = _score_all_blocks(
+    def run_bucket(w_row, perm_pad, starts, local_cap):
+        return _score_all_blocks(
             all_ids,
             all_counts,
             col_lens,
-            jnp.asarray(np.array([start], np.int32)),
+            jnp.asarray(perm_pad),
+            jnp.asarray(starts),
             vocab_size=index.vocab_size,
             row_block=row_block,
+            w_row=w_row,
             col_block=col_block,
             level_cap=config.level_cap,
             matmul_dtype=config.matmul_dtype,
@@ -403,13 +468,51 @@ def compute_cells_xla(
             n_true=G,
             k2=2 * index.k,
         )
-        r2 = np.asarray(r2).reshape(-1)
-        keep2 = r2 >= 0
-        rows_out.append(r2[keep2])
-        cols_out.append(np.asarray(c2).reshape(-1)[keep2])
-        i_out.append(np.asarray(iv2).reshape(-1)[keep2].astype(np.int64))
-        p_out.append(np.asarray(pv2).reshape(-1)[keep2].astype(np.int64))
-        t_out.append(np.asarray(tv2).reshape(-1)[keep2].astype(np.int64))
+
+    for w_row, perm_pad, starts in _width_buckets(
+        widths, row_block, padded.width
+    ):
+        r, c, iv, pv, tv, counts = run_bucket(w_row, perm_pad, starts, cap)
+        counts = np.asarray(counts)
+        r = np.asarray(r).reshape(-1)
+        keep = r >= 0
+        c = np.asarray(c).reshape(-1)
+        iv = np.asarray(iv).reshape(-1)
+        pv = np.asarray(pv).reshape(-1)
+        tv = np.asarray(tv).reshape(-1)
+
+        over = np.flatnonzero(counts > cap)
+        if over.size:
+            # Drop truncated blocks' cells, recompute them with larger cap.
+            over_rows = set()
+            for bi in over:
+                s = int(starts[bi])
+                over_rows.update(
+                    int(x) for x in perm_pad[s : s + row_block] if x < G
+                )
+            drop = np.isin(r, np.fromiter(over_rows, dtype=np.int32))
+            keep = keep & ~drop
+            for bi in over:
+                local_cap = _round_up(int(counts[bi]), row_block)
+                r2, c2, iv2, pv2, tv2, _ = run_bucket(
+                    w_row,
+                    perm_pad,
+                    np.asarray([int(starts[bi])], np.int32),
+                    local_cap,
+                )
+                r2 = np.asarray(r2).reshape(-1)
+                k2m = r2 >= 0
+                rows_out.append(r2[k2m])
+                cols_out.append(np.asarray(c2).reshape(-1)[k2m])
+                i_out.append(np.asarray(iv2).reshape(-1)[k2m].astype(np.int64))
+                p_out.append(np.asarray(pv2).reshape(-1)[k2m].astype(np.int64))
+                t_out.append(np.asarray(tv2).reshape(-1)[k2m].astype(np.int64))
+
+        rows_out.append(r[keep])
+        cols_out.append(c[keep])
+        i_out.append(iv[keep].astype(np.int64))
+        p_out.append(pv[keep].astype(np.int64))
+        t_out.append(tv[keep].astype(np.int64))
 
     row = np.concatenate(rows_out)
     col = np.concatenate(cols_out)
@@ -417,18 +520,47 @@ def compute_cells_xla(
     perc = np.concatenate(p_out)
     tr = np.concatenate(t_out)
 
-    corrections = _host_level_cap_corrections(index, config.level_cap)
-    if corrections:
-        cell_index = {(int(a), int(b)): n for n, (a, b) in enumerate(zip(row, col))}
-        for (a, b), extra in corrections.items():
-            n = cell_index.get((a, b))
-            if n is None:
-                # The cell was dropped by the on-device validity filter; a
-                # correction can only raise intersection, never validity
-                # (which depends on perc counters only), so it stays
-                # dropped.
-                continue
-            inter[n] += extra
+    # --- host corrections (rare entries above the clipping thresholds)
+    lvl_corr = _host_level_cap_corrections(index, config.level_cap)
+    cnt_corr = (
+        _host_count_clip_corrections(index)
+        if config.matmul_dtype == "bf16"
+        else {}
+    )
+    if lvl_corr or cnt_corr:
+        cell_index = {
+            (int(a), int(b)): n for n, (a, b) in enumerate(zip(row, col))
+        }
+        extra_rows = []
+        for key in set(lvl_corr) | set(cnt_corr):
+            n = cell_index.get(key)
+            if n is not None:
+                if key in lvl_corr:
+                    inter[n] += lvl_corr[key]
+                if key in cnt_corr:
+                    dp, dt = cnt_corr[key]
+                    perc[n] += dp
+                    tr[n] += dt
+            else:
+                # The cell was dropped by the on-device validity filter
+                # computed on CLIPPED counters; recompute exactly — it may
+                # become valid once unclipped (perc corrections only raise
+                # perc).  Level-cap corrections alone can't change validity.
+                if key not in cnt_corr:
+                    continue
+                i0, j0 = key
+                ti, tp, tt = _host_compute_cell(index, i0, j0)
+                a = int(index.kseq_lengths[i0])
+                b = int(index.kseq_lengths[j0])
+                if 2 * index.k * tp >= a or 2 * index.k * tt >= b:
+                    extra_rows.append((i0, j0, ti, tp, tt))
+        if extra_rows:
+            er = np.asarray(extra_rows, dtype=np.int64)
+            row = np.concatenate([row, er[:, 0].astype(np.int32)])
+            col = np.concatenate([col, er[:, 1].astype(np.int32)])
+            inter = np.concatenate([inter, er[:, 2]])
+            perc = np.concatenate([perc, er[:, 3]])
+            tr = np.concatenate([tr, er[:, 4]])
 
     return ScoreCells(
         row.astype(np.int32), col.astype(np.int32), inter, perc, tr

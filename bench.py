@@ -76,23 +76,18 @@ def main() -> int:
         backend=backend, row_block=128, col_block=512, level_cap=4
     )
 
-    from pandelos_tpu.ops.score import compute_cells_xla, pad_profiles
+    from pandelos_tpu.pipeline import compute_cells
 
     import jax
 
     device = jax.devices()[0]
 
-    # --- warmup: compile the kernels on a single row-block shape
     t0 = time.monotonic()
-    padded = pad_profiles(index, config.row_block, config.col_block)
-    timings["pad_profiles"] = time.monotonic() - t0
-
-    t0 = time.monotonic()
-    cells = compute_cells_xla(index, config)  # includes first-call compile
+    cells = compute_cells(index, config)  # includes first-call compile
     timings["score_with_compile"] = time.monotonic() - t0
 
     t0 = time.monotonic()
-    cells = compute_cells_xla(index, config)
+    cells = compute_cells(index, config)
     score_time = time.monotonic() - t0
     timings["score"] = score_time
 

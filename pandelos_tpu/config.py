@@ -36,6 +36,13 @@ class PipelineConfig:
     # cells per row-block = nnz_cap_per_row * row_block.  Overflow triggers a
     # host-side retry with a doubled cap.
     nnz_cap_per_row: int = 512
+    # --- candidate engine (ops/candidate.py)
+    # Bucket count of the host-built mass signatures used for the exact
+    # upper-bound prefilter matmuls.
+    signature_buckets: int = 8192
+    # Max candidate columns per row on device; rows exceeding it fall back
+    # to the exact host posting walk.
+    candidate_cap: int = 128
 
     # --- parallelism
     # Number of devices to shard the row (gene) axis over; None -> all.

@@ -1,0 +1,408 @@
+"""Candidate-filtered exact scoring engine — the TPU fast path.
+
+Replaces the reference's inverted-index posting walk (library.cpp:409-527)
+with a three-stage, scatter-free device pipeline (TPU XLA is catastrophic
+at scatter; measured ~11s for a single 500k-element scatter on v5e):
+
+1. **Bound stage (MXU)**: per-gene bucket-mass signatures ``S[g, b] =
+   sum of counts of g's k-mers hashing to bucket b`` are built on host
+   (one bincount) and rounded UP to bfloat16.  For genes i, j::
+
+       perc_bound(i,j) = sum_b S[i,b] * [S[j,b] > 0]  >=  perc_cnt(i,j)
+       tr_bound(i,j)   = sum_b [S[i,b] > 0] * S[j,b]  >=  tr_perc_cnt(i,j)
+
+   (true shared k-mers always land in buckets the other gene occupies).
+   Two [R,B]@[B,G] bf16 matmuls per row block give exact-in-f32 upper
+   bounds, so thresholding with the reference's validity test
+   ``2k*perc >= |A| OR 2k*tr >= |B|`` can NEVER drop a truly valid pair.
+
+2. **Candidate extraction**: per row, positions of bound-passing columns
+   via row-wise cumsum + vmapped searchsorted (no scatter, no top_k), up
+   to ``candidate_cap`` per row; overflowing rows fall back to the host
+   posting-walk oracle (exact, rare).
+
+3. **Exact stage (VPU)**: for each candidate pair, the exact integer
+   accumulators by direct equality-join of the two sorted id profiles:
+   ``eq[w1,w2] = (ids_i[w1] == ids_j[w2])`` with min/count reductions —
+   regular, gather-light (one profile row-gather per candidate),
+   mask-safe.  All counters are integers held in f32 (< 2^24, exact).
+
+No scores are computed on device: TPU f32 division is not IEEE-correctly
+rounded (measured: 35% of quotients differ from the host by 1 ulp, and
+x/x can be != 1.0), which would corrupt the reference's float-equality
+BBH semantics (Pangenes.java:100-101).  The device ships integer cells;
+the host finalizes scores bit-exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pandelos_tpu.config import PipelineConfig
+from pandelos_tpu.index import KmerIndex
+from pandelos_tpu.oracle.cells import ScoreCells
+from pandelos_tpu.ops.score import PaddedProfiles, _round_up, pad_profiles
+
+def _bf16_round_up(x: np.ndarray) -> np.ndarray:
+    """Round positive float32 values UP to the nearest bfloat16 value
+    (keeps upper-bound semantics).  Returned as float32 holding exact
+    bf16 values."""
+    x32 = np.ascontiguousarray(x, dtype=np.float32)
+    bits = x32.view(np.uint32)
+    # truncate to bf16 (round toward zero), bump one bf16-ulp when the
+    # truncation lost bits
+    trunc = bits & np.uint32(0xFFFF0000)
+    lost = (bits & np.uint32(0x0000FFFF)) != 0
+    bumped = trunc + np.where(lost, np.uint32(0x00010000), np.uint32(0))
+    return bumped.view(np.float32).copy()
+
+
+def _bf16_round_up_jnp(x):
+    """Device-side bf16 round-up (f32 in, f32 holding bf16 values out)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    trunc = bits & jnp.uint32(0xFFFF0000)
+    lost = (bits & jnp.uint32(0x0000FFFF)) != 0
+    bumped = trunc + jnp.where(lost, jnp.uint32(0x00010000), jnp.uint32(0))
+    return jax.lax.bitcast_convert_type(bumped, jnp.float32)
+
+
+def build_signatures(
+    index: KmerIndex,
+    padded,
+    config: Optional[PipelineConfig] = None,
+    force_host: bool = False,
+):
+    """Range-bucket mass signatures [G_pad, B] as f32 holding exact bf16
+    round-up values (upper-bound safe for the bound matmuls).
+
+    Built on device by the Pallas histogram kernel when running on TPU
+    (scatter-free; host build + upload would cost ~20s/GB over the remote
+    tunnel), by NumPy bincount otherwise.
+    """
+    from pandelos_tpu.ops.pallas_hist import (
+        device_histogram,
+        host_histogram,
+        pick_buckets,
+    )
+
+    n_buckets, shift = pick_buckets(
+        index.vocab_size, max(1, index.max_profile_len), index.k
+    )
+    use_device = (not force_host) and jax.default_backend() not in ("cpu",)
+    if use_device:
+        mass = device_histogram(
+            jnp.asarray(padded.ids), jnp.asarray(padded.counts),
+            n_buckets=n_buckets, shift=shift,
+        )
+        return _bf16_round_up_jnp(mass), n_buckets, shift
+    mass = host_histogram(padded.ids, padded.counts, n_buckets, shift)
+    return jnp.asarray(_bf16_round_up(mass)), n_buckets, shift
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("row_block", "w_row", "cand_cap", "n_true", "k2"),
+)
+def _candidate_blocks(
+    all_ids,  # int32 [G_pad, W]
+    all_counts,  # int32 [G_pad, W]
+    sig_mass,  # f32 (bf16 values) [G_pad, B]
+    col_lens,  # f32 [G_pad]
+    perm_pad,  # int32 [>= n_blocks * row_block] width-sorted gene order
+    starts,  # int32 [n_blocks]
+    row_block: int,
+    w_row: int,
+    cand_cap: int,
+    n_true: int,
+    k2: int,
+):
+    """One width bucket's scoring pass: lax.scan over row blocks.
+
+    Returns per block: grow [R] (global row gene ids), cand [R, K]
+    (candidate col ids), inter/perc/tr [R, K] (exact integer counters in
+    f32), valid [R, K] bool, and per-row candidate counts [R] (rows with
+    count > K are handled by the host fallback)."""
+    G_pad, W = all_ids.shape
+    R = row_block
+    K = cand_cap
+    sig_pres = (sig_mass > 0).astype(jnp.bfloat16)
+    sig_bf = sig_mass.astype(jnp.bfloat16)
+
+    def body(_, start):
+        idxs = jax.lax.dynamic_slice(perm_pad, (start,), (R,))  # [R]
+        grow = idxs
+        row_lens = col_lens[idxs]  # [R]
+
+        # --- stage 1: signature bound matmuls (MXU)
+        mass_a = sig_bf[idxs]  # [R, B]
+        pres_a = sig_pres[idxs]
+        perc_bnd = jax.lax.dot_general(
+            mass_a, sig_pres, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, G_pad]
+        tr_bnd = jax.lax.dot_general(
+            pres_a, sig_bf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (R, G_pad), 1)
+        cand_mask = (
+            (
+                (jnp.float32(k2) * perc_bnd >= row_lens[:, None])
+                | (jnp.float32(k2) * tr_bnd >= col_lens[None, :])
+            )
+            & (cols != grow[:, None])
+            & (cols < n_true)
+            & (grow[:, None] < n_true)
+            & (row_lens[:, None] > 0)
+            & (col_lens[None, :] > 0)
+        )
+        counts = jnp.sum(cand_mask, axis=1, dtype=jnp.int32)  # [R]
+
+        # --- stage 2: candidate extraction (cumsum + searchsorted)
+        cs = jnp.cumsum(cand_mask.astype(jnp.int32), axis=1)  # [R, G_pad]
+        queries = jnp.arange(1, K + 1, dtype=jnp.int32)
+
+        def per_row(cs_row):
+            return jnp.searchsorted(cs_row, queries)
+
+        cand = jax.vmap(per_row)(cs).astype(jnp.int32)  # [R, K]
+        have = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+        # absent slots -> gene n_true (an empty padded profile row)
+        cand = jnp.where(have, jnp.minimum(cand, G_pad - 1), n_true)
+
+        # --- stage 3: exact equality-join over sorted profiles (VPU)
+        a_ids = all_ids[idxs, :w_row]  # [R, w_row]
+        a_cnt = all_counts[idxs, :w_row].astype(jnp.float32)
+
+        w_chunk = min(128, w_row)
+        n_chunks = w_row // w_chunk
+
+        def k_step(kk, carry):
+            inter_o, perc_o, tr_o = carry
+            j = jax.lax.dynamic_slice(cand, (0, kk), (R, 1))[:, 0]  # [R]
+            b_ids = all_ids[j]  # [R, W]
+            b_cnt = all_counts[j].astype(jnp.float32)
+
+            # chunk the row-profile axis to bound the [R, chunk, W]
+            # equality temporary
+            def chunk_step(ci, acc):
+                inter_k, perc_k, match_b = acc
+                a_i = jax.lax.dynamic_slice(
+                    a_ids, (0, ci * w_chunk), (R, w_chunk)
+                )
+                a_c = jax.lax.dynamic_slice(
+                    a_cnt, (0, ci * w_chunk), (R, w_chunk)
+                )
+                eq = a_i[:, :, None] == b_ids[:, None, :]  # [R, wc, W]
+                minab = jnp.minimum(a_c[:, :, None], b_cnt[:, None, :])
+                inter_k = inter_k + jnp.sum(
+                    jnp.where(eq, minab, 0.0), axis=(1, 2)
+                )
+                perc_k = perc_k + jnp.sum(
+                    a_c * jnp.any(eq, axis=2), axis=1
+                )
+                match_b = match_b | jnp.any(eq, axis=1)
+                return inter_k, perc_k, match_b
+
+            inter_k, perc_k, match_b = jax.lax.fori_loop(
+                0,
+                n_chunks,
+                chunk_step,
+                (
+                    jnp.zeros((R,), jnp.float32),
+                    jnp.zeros((R,), jnp.float32),
+                    jnp.zeros((R, W), jnp.bool_),
+                ),
+            )
+            tr_k = jnp.sum(b_cnt * match_b, axis=1)
+            ins = lambda buf, v: jax.lax.dynamic_update_slice(
+                buf, v[:, None], (0, kk)
+            )
+            return ins(inter_o, inter_k), ins(perc_o, perc_k), ins(tr_o, tr_k)
+
+        zeros = jnp.zeros((R, K), dtype=jnp.float32)
+        inter, perc, tr = jax.lax.fori_loop(
+            0, K, k_step, (zeros, zeros, zeros)
+        )
+
+        # --- validity (exact integer form of the 1/(2k) threshold)
+        cand_lens = col_lens[jnp.minimum(cand, G_pad - 1)]
+        valid = (
+            (inter > 0)
+            & have
+            & (
+                (jnp.float32(k2) * perc >= row_lens[:, None])
+                | (jnp.float32(k2) * tr >= cand_lens)
+            )
+        )
+        return None, (grow, cand, inter, perc, tr, valid, counts)
+
+    _, outs = jax.lax.scan(body, None, starts)
+    return outs
+
+
+def _host_fallback_rows(index: KmerIndex, rows) -> ScoreCells:
+    """Exact posting-walk for a small set of rows (candidate-cap
+    overflow); mirrors the oracle's per-row accumulation."""
+    from pandelos_tpu.oracle.cells import _posting_csr
+
+    post_ptr, post_gene, post_count = _posting_csr(index)
+    G = index.n_sequences
+    r_out, c_out, i_out, p_out, t_out = [], [], [], [], []
+    for i in rows:
+        s, e = index.profile_ptr[i], index.profile_ptr[i + 1]
+        if e == s:
+            continue
+        ids = index.profile_ids[s:e]
+        my_counts = index.profile_counts[s:e].astype(np.int64)
+        lens = post_ptr[ids + 1] - post_ptr[ids]
+        other_gene = np.concatenate(
+            [post_gene[post_ptr[v] : post_ptr[v + 1]] for v in ids]
+        )
+        other_count = np.concatenate(
+            [post_count[post_ptr[v] : post_ptr[v + 1]] for v in ids]
+        )
+        mine = np.repeat(my_counts, lens)
+        keep = other_gene != i
+        other_gene, other_count, mine = (
+            other_gene[keep],
+            other_count[keep],
+            mine[keep],
+        )
+        inter = np.zeros(G, dtype=np.int64)
+        perc = np.zeros(G, dtype=np.int64)
+        tr = np.zeros(G, dtype=np.int64)
+        np.add.at(inter, other_gene, np.minimum(other_count, mine))
+        np.add.at(perc, other_gene, mine)
+        np.add.at(tr, other_gene, other_count)
+        touched = np.flatnonzero(inter)
+        r_out.append(np.full(touched.shape, i, dtype=np.int32))
+        c_out.append(touched.astype(np.int32))
+        i_out.append(inter[touched])
+        p_out.append(perc[touched])
+        t_out.append(tr[touched])
+    if not r_out:
+        z32 = np.zeros(0, np.int32)
+        z64 = np.zeros(0, np.int64)
+        return ScoreCells(z32, z32, z64, z64, z64)
+    return ScoreCells(
+        np.concatenate(r_out),
+        np.concatenate(c_out),
+        np.concatenate(i_out),
+        np.concatenate(p_out),
+        np.concatenate(t_out),
+    )
+
+
+def compute_cells_candidate(
+    index: KmerIndex, config: Optional[PipelineConfig] = None
+) -> ScoreCells:
+    """Full-dataset VALID cells via the candidate engine.
+
+    Note: unlike the oracle, only cells passing the validity threshold
+    are returned (plus any cell the bound could not exclude) — invalid
+    cells never influence the network (finalize_scores drops them)."""
+    from pandelos_tpu.ops.score import _width_buckets
+
+    config = config or PipelineConfig()
+    G = index.n_sequences
+    if G == 0 or index.profile_ids.size == 0:
+        z32 = np.zeros(0, dtype=np.int32)
+        z64 = np.zeros(0, dtype=np.int64)
+        return ScoreCells(z32, z32, z64, z64, z64)
+
+    row_block = min(config.row_block, _round_up(G, 8))
+    col_block = min(config.col_block, _round_up(G, 128))
+    padded = pad_profiles(index, row_block, col_block)
+    G_pad = padded.ids.shape[0]
+    K = config.candidate_cap
+
+    sig_mass, _, _ = build_signatures(index, padded, config)
+
+    all_ids = jnp.asarray(padded.ids)
+    all_counts = jnp.asarray(padded.counts)
+
+    lens_pad = np.zeros(G_pad, dtype=np.float32)
+    lens_pad[:G] = index.kseq_lengths
+    col_lens = jnp.asarray(lens_pad)
+
+    widths = np.diff(index.profile_ptr)
+
+    r_out, c_out, i_out, p_out, t_out = [], [], [], [], []
+    overflow_rows = []
+
+    for w_row, perm_pad, starts in _width_buckets(
+        widths, row_block, padded.width
+    ):
+        # pad the scan length to a power of two (fewer compiled variants);
+        # extra starts point at an all-padding block and emit nothing
+        perm_ext = np.concatenate(
+            [perm_pad, np.full(row_block, G, dtype=np.int32)]
+        )
+        n_starts = len(starts)
+        n2 = 1
+        while n2 < n_starts:
+            n2 *= 2
+        starts_ext = np.concatenate(
+            [starts, np.full(n2 - n_starts, len(perm_pad), dtype=np.int32)]
+        )
+        grow, cand, inter, perc, tr, valid, counts = _candidate_blocks(
+            all_ids,
+            all_counts,
+            sig_mass,
+            col_lens,
+            jnp.asarray(perm_ext),
+            jnp.asarray(starts_ext),
+            row_block=row_block,
+            w_row=w_row,
+            cand_cap=K,
+            n_true=G,
+            k2=2 * index.k,
+        )
+        grow = np.asarray(grow).reshape(-1)  # [n_blocks * R]
+        counts = np.asarray(counts).reshape(-1)
+        valid = np.asarray(valid).reshape(-1, K)
+        cand = np.asarray(cand).reshape(-1, K)
+        inter = np.asarray(inter).reshape(-1, K)
+        perc = np.asarray(perc).reshape(-1, K)
+        tr = np.asarray(tr).reshape(-1, K)
+
+        over = (counts > K) & (grow < G)
+        overflow_rows.extend(grow[over].tolist())
+        ok = ~over
+
+        vmask = valid & ok[:, None]
+        rr = np.broadcast_to(grow[:, None], cand.shape)[vmask]
+        r_out.append(rr.astype(np.int32))
+        c_out.append(cand[vmask].astype(np.int32))
+        i_out.append(inter[vmask].astype(np.int64))
+        p_out.append(perc[vmask].astype(np.int64))
+        t_out.append(tr[vmask].astype(np.int64))
+
+    if overflow_rows:
+        fb = _host_fallback_rows(index, sorted(set(overflow_rows)))
+        # the fallback returns ALL cells incl. invalid; keep everything —
+        # finalize drops invalid identically, but also keep the mirrored
+        # direction consistent: device rows (j, i) for j not overflowing
+        # were already emitted.
+        r_out.append(fb.row)
+        c_out.append(fb.col)
+        i_out.append(fb.intersection)
+        p_out.append(fb.perc_cnt)
+        t_out.append(fb.tr_perc_cnt)
+
+    return ScoreCells(
+        np.concatenate(r_out),
+        np.concatenate(c_out),
+        np.concatenate(i_out),
+        np.concatenate(p_out),
+        np.concatenate(t_out),
+    )
+

@@ -413,8 +413,12 @@ def _width_buckets(widths: np.ndarray, row_block: int, w_max: int):
         blk = perm_pad[b * row_block : (b + 1) * row_block]
         real = blk[blk < G]
         wb = int(widths[real].max()) if real.size else 1
-        wb = max(128, _round_up(wb, 128))
-        wb = min(wb, w_max)
+        # quantize width classes to powers of two (bounded number of
+        # compiled program variants), capped at the global padded width
+        w2 = 128
+        while w2 < wb:
+            w2 *= 2
+        wb = min(w2, _round_up(w_max, 128))
         buckets.setdefault(wb, []).append(b * row_block)
     return [
         (wb, perm_pad, np.asarray(starts, dtype=np.int32))

@@ -57,10 +57,14 @@ def compute_cells(index: KmerIndex, config: PipelineConfig) -> ScoreCells:
     backend = _resolve_backend(config.backend)
     if backend == "oracle":
         return compute_cells_oracle(index)
-    if backend in ("xla", "pallas"):
+    if backend == "dense":
         from pandelos_tpu.ops.score import compute_cells_xla
 
         return compute_cells_xla(index, config)
+    if backend in ("xla", "pallas"):
+        from pandelos_tpu.ops.candidate import compute_cells_candidate
+
+        return compute_cells_candidate(index, config)
     raise ValueError(f"unknown backend: {config.backend}")
 
 

@@ -1,0 +1,175 @@
+import numpy as np
+import pytest
+
+from pandelos_tpu.config import PipelineConfig
+from pandelos_tpu.index import build_index
+from pandelos_tpu.io.faa import FaaDataset
+from pandelos_tpu.ops.candidate import (
+    _bf16_round_up,
+    build_signatures,
+    compute_cells_candidate,
+)
+from pandelos_tpu.oracle.cells import apply_validity, compute_cells_oracle
+
+from tests.test_cells_and_net import _random_ds
+
+
+def _valid_dict(cells, idx):
+    c = apply_validity(cells, idx.kseq_lengths, idx.k)
+    return {
+        (int(r), int(cc)): (int(i), int(p), int(t))
+        for r, cc, i, p, t in zip(
+            c.row, c.col, c.intersection, c.perc_cnt, c.tr_perc_cnt
+        )
+    }
+
+
+def test_bf16_round_up_is_upper_bound():
+    rng = np.random.default_rng(0)
+    x = (rng.random(10000) * 2000).astype(np.float32)
+    up = _bf16_round_up(x)
+    assert (up >= x).all()
+    # exact bf16 values unchanged
+    exact = np.asarray([0.0, 1.0, 2.0, 256.0, 0.5], np.float32)
+    np.testing.assert_array_equal(_bf16_round_up(exact), exact)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 7])
+def test_candidate_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    ds = _random_ds(rng, n_genomes=4, n_fams=9)
+    idx = build_index(ds, k=3)
+    cfg = PipelineConfig(
+        row_block=16, col_block=128, candidate_cap=64, signature_buckets=512
+    )
+    got = _valid_dict(compute_cells_candidate(idx, cfg), idx)
+    want = _valid_dict(compute_cells_oracle(idx), idx)
+    assert got == want
+
+
+def test_candidate_overflow_fallback():
+    # tiny candidate cap forces the host posting-walk fallback
+    rng = np.random.default_rng(3)
+    ds = _random_ds(rng, n_genomes=4, n_fams=6)
+    idx = build_index(ds, k=3)
+    cfg = PipelineConfig(
+        row_block=8, col_block=128, candidate_cap=2, signature_buckets=256
+    )
+    got = _valid_dict(compute_cells_candidate(idx, cfg), idx)
+    want = _valid_dict(compute_cells_oracle(idx), idx)
+    assert got == want
+
+
+def test_candidate_no_duplicate_cells():
+    rng = np.random.default_rng(5)
+    ds = _random_ds(rng, n_genomes=3, n_fams=6)
+    idx = build_index(ds, k=3)
+    cfg = PipelineConfig(
+        row_block=8, col_block=128, candidate_cap=3, signature_buckets=256
+    )
+    cells = compute_cells_candidate(idx, cfg)
+    keys = list(zip(cells.row.tolist(), cells.col.tolist()))
+    assert len(keys) == len(set(keys))
+
+
+def test_candidate_homopolymer_counts():
+    ds = FaaDataset(
+        sequences=["A" * 40 + "CDE", "A" * 33 + "CDE", "CDECDECDE"],
+        names=["a", "b", "c"],
+        descriptions=["d"] * 3,
+        seq_genome=[0, 1, 1],
+        genome_names=["g0", "g1"],
+    )
+    idx = build_index(ds, k=3)
+    cfg = PipelineConfig(row_block=8, col_block=128, candidate_cap=8,
+                         signature_buckets=128)
+    got = _valid_dict(compute_cells_candidate(idx, cfg), idx)
+    want = _valid_dict(compute_cells_oracle(idx), idx)
+    assert got == want
+    assert got[(0, 1)][0] >= 31  # min(38, 31) on the AAA run
+
+
+def test_signature_bound_holds():
+    """The signature bound must dominate the true perc counters."""
+    from pandelos_tpu.ops.score import pad_profiles
+
+    rng = np.random.default_rng(11)
+    ds = _random_ds(rng, n_genomes=3, n_fams=8)
+    idx = build_index(ds, k=3)
+    padded = pad_profiles(idx, 8, 128)
+    sig, n_buckets, shift = build_signatures(idx, padded, force_host=True)
+    sig = np.asarray(sig)
+    pres = (sig > 0).astype(np.float32)
+    bound = sig @ pres.T
+    cells = compute_cells_oracle(idx)
+    for r, c, p in zip(cells.row, cells.col, cells.perc_cnt):
+        assert bound[r, c] >= p
+
+
+def test_pallas_histogram_interpret_matches_host():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pandelos_tpu.ops.pallas_hist import (
+        BUCKET_CHUNK,
+        _make_hist_kernel,
+        host_histogram,
+    )
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(2)
+    G_pad, W, n_buckets, shift = 16, 128, BUCKET_CHUNK, 2
+    vocab = n_buckets << shift
+    ids = np.sort(
+        rng.integers(0, vocab, size=(G_pad, W)).astype(np.int32), axis=1
+    )
+    counts = rng.integers(1, 5, size=(G_pad, W)).astype(np.int32)
+    # sentinel-pad some tails
+    for g in range(G_pad):
+        n = rng.integers(0, W)
+        ids[g, n:] = vocab + 7
+        counts[g, n:] = 0
+
+    kernel = _make_hist_kernel(shift, W)
+    from pandelos_tpu.ops.pallas_hist import GENE_BLOCK
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((G_pad, n_buckets), jnp.float32),
+        grid=(G_pad // GENE_BLOCK, n_buckets // BUCKET_CHUNK),
+        in_specs=[
+            pl.BlockSpec((GENE_BLOCK, W), lambda i, j: (i, 0)),
+            pl.BlockSpec((GENE_BLOCK, W), lambda i, j: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((GENE_BLOCK, BUCKET_CHUNK), lambda i, j: (i, j)),
+        scratch_shapes=[pltpu.VMEM((GENE_BLOCK, BUCKET_CHUNK), jnp.float32)],
+        interpret=True,
+    )(jnp.asarray(ids), jnp.asarray(counts))
+    want = host_histogram(ids, counts, n_buckets, shift)
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_candidate_full_pipeline_equivalence(tmp_path):
+    from pandelos_tpu.bench.synth import SynthSpec, generate
+    from pandelos_tpu.io.clus import read_clus
+    from pandelos_tpu.io.net import diff_nets, read_net
+    from pandelos_tpu.pipeline import run_pipeline
+
+    ds = generate(
+        SynthSpec(n_genomes=3, n_families=12, singleton_per_genome=3,
+                  min_len=30, max_len=90, seed=5)
+    )
+    p1 = str(tmp_path / "oracle")
+    p2 = str(tmp_path / "cand")
+    run_pipeline("", p1, PipelineConfig(backend="oracle"), dataset=ds)
+    run_pipeline(
+        "",
+        p2,
+        PipelineConfig(backend="xla", row_block=16, col_block=128,
+                       candidate_cap=32),
+        dataset=ds,
+    )
+    rep = diff_nets(read_net(p1 + ".net"), read_net(p2 + ".net"), tolerance=0.0)
+    assert rep["identical"], rep
+    assert read_clus(p1 + ".clus") == read_clus(p2 + ".clus")

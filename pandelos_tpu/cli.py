@@ -76,6 +76,35 @@ def main(argv=None) -> int:
     p_q.add_argument("input")
     p_q.add_argument("clus")
 
+    p_bench = sub.add_parser("bench", help="measured run (rusage + JSON)")
+    p_bench.add_argument("input")
+    p_bench.add_argument("out_prefix")
+    _add_config_args(p_bench)
+
+    p_auto = sub.add_parser(
+        "auto", help="scaling sweep: two backends, growing subsets, diff"
+    )
+    p_auto.add_argument("input")
+    p_auto.add_argument("workdir")
+    p_auto.add_argument("--backend-new", default="xla")
+    p_auto.add_argument("--backend-ref", default="oracle")
+    p_auto.add_argument("--seq-start", type=int, default=200)
+    p_auto.add_argument("--max-rounds", type=int, default=10)
+
+    p_re = sub.add_parser("reinput", help="truncate a dataset (subsetting)")
+    p_re.add_argument("input")
+    p_re.add_argument("output")
+    p_re.add_argument("--max-sequences", type=int, default=None)
+    p_re.add_argument("--max-genomes", type=int, default=None)
+
+    p_gbk = sub.add_parser("gbk2faa", help="GenBank directory -> .faa")
+    p_gbk.add_argument("directory")
+    p_gbk.add_argument("output")
+
+    p_syn = sub.add_parser("synth", help="generate a synthetic dataset")
+    p_syn.add_argument("preset", help="toy|salmonella7|escherichia10|xanthomonas14|mycoplasma64")
+    p_syn.add_argument("output")
+
     args = parser.parse_args(argv)
 
     try:
@@ -133,6 +162,66 @@ def _dispatch(args) -> int:
         from pandelos_tpu.bench.quality import quality_report
 
         print(json.dumps(quality_report(args.input, args.clus), indent=2))
+        return 0
+
+    if args.cmd == "bench":
+        from pandelos_tpu.bench.harness import run_measured
+
+        res, bench = run_measured(
+            args.input, args.out_prefix, _config_from_args(args)
+        )
+        print(
+            json.dumps(
+                {"bench": bench.to_dict(), "phase_times": res.phase_times},
+                indent=2,
+            )
+        )
+        return 0
+
+    if args.cmd == "auto":
+        from pandelos_tpu.bench.harness import auto_sweep
+
+        reports = auto_sweep(
+            args.input,
+            args.workdir,
+            backend_new=args.backend_new,
+            backend_ref=args.backend_ref,
+            seq_start=args.seq_start,
+            max_rounds=args.max_rounds,
+        )
+        ok = all(r["check"]["identical"] for r in reports)
+        print(json.dumps({"rounds": len(reports), "all_identical": ok}))
+        return 0 if ok else 1
+
+    if args.cmd == "reinput":
+        from pandelos_tpu.bench.harness import reinput
+        from pandelos_tpu.io.faa import read_faa, write_faa
+
+        ds = reinput(
+            read_faa(args.input),
+            max_sequences=args.max_sequences,
+            max_genomes=args.max_genomes,
+        )
+        write_faa(args.output, ds)
+        print(json.dumps({"n_sequences": ds.n_sequences, "n_genomes": ds.n_genomes}))
+        return 0
+
+    if args.cmd == "gbk2faa":
+        from pandelos_tpu.io.faa import write_faa
+        from pandelos_tpu.io.gbk import gbk_dir_to_faa
+
+        ds = gbk_dir_to_faa(args.directory)
+        write_faa(args.output, ds)
+        print(json.dumps({"n_sequences": ds.n_sequences, "n_genomes": ds.n_genomes}))
+        return 0
+
+    if args.cmd == "synth":
+        from pandelos_tpu.bench.synth import generate_preset
+        from pandelos_tpu.io.faa import write_faa
+
+        ds = generate_preset(args.preset)
+        write_faa(args.output, ds)
+        print(json.dumps({"n_sequences": ds.n_sequences, "n_genomes": ds.n_genomes}))
         return 0
 
     return 2

@@ -76,7 +76,14 @@ def sharded_score_step(
     from pandelos_tpu.ops.score import _score_row_block
 
     def local_step(
-        row_ids, row_counts, all_ids, all_counts, col_genome, col_lens, row_lens
+        row_ids,
+        row_counts,
+        all_ids,
+        all_counts,
+        col_genome,
+        col_lens,
+        row_lens,
+        row_pos,
     ):
         # row_ids: [R_local, W] — this device's shard of the row axis.
         inter, perc, tr = _score_row_block(
@@ -90,6 +97,10 @@ def sharded_score_step(
             matmul_dtype=matmul_dtype,
         )
         score = _finalize_f32(inter, perc, tr, row_lens, col_lens, k)
+        # zero the self cell (library.cpp:484-487); row_pos carries each
+        # local row's global index
+        cols = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+        score = jnp.where(cols == row_pos[:, None], 0.0, score)
         # Per-(local row, genome) maxima: segment-max over columns by the
         # column's genome id -> M_local [R_local, n_genomes].
         onehot = (
@@ -115,6 +126,7 @@ def sharded_score_step(
             P(None),  # column genome ids replicated
             P(None),  # column kseq lengths replicated
             P(axis),  # row kseq lengths sharded
+            P(axis),  # global row positions sharded
         ),
         out_specs=(P(axis, None), P(axis, None), P(axis, None), P(None, None)),
         # the fori_loop carries inside the score kernel start as unvarying

@@ -25,3 +25,8 @@ done < "$list"
 
 python -m pandelos_tpu.cli gbk2faa "$outdir/gbk" "$outdir/dataset.faa"
 echo "wrote $outdir/dataset.faa"
+
+# Accession lists: the PanDelos paper's four benchmark datasets are the
+# NCBI genome sets for Salmonella enterica Typhi (7 isolates), E. coli
+# (10), Xanthomonas campestris (14) and Mycoplasma (64); the upstream
+# repository ships the accession lists as example/*.list.txt.

@@ -43,6 +43,9 @@ class PipelineConfig:
     # Max candidate columns per row on device; rows exceeding it fall back
     # to the exact host posting walk.
     candidate_cap: int = 128
+    # Run the BBH network construction on device (ships only edges over
+    # the host link); falls back to the host path on candidate overflow.
+    device_bbh: bool = False
 
     # --- parallelism
     # Number of devices to shard the row (gene) axis over; None -> all.

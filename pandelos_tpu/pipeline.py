@@ -108,16 +108,39 @@ def run_pipeline(
             stats={"complexity": report},
         )
 
-    t = time.monotonic()
-    cells = compute_cells(index, config)
-    times["score"] = time.monotonic() - t
+    net = None
+    if config.device_bbh and _resolve_backend(config.backend) in (
+        "xla",
+        "pallas",
+    ):
+        from pandelos_tpu.ops.net_device import compute_network_device
 
-    t = time.monotonic()
-    finalized = finalize_scores(cells, index.kseq_lengths, k)
-    net: NetworkResult = build_network(
-        finalized, index.seq_genome, ds.n_genomes, ds.n_sequences
-    )
-    times["network"] = time.monotonic() - t
+        t = time.monotonic()
+        out = compute_network_device(index, config)
+        if out is not None:
+            edges, dstats = out
+            times["score"] = time.monotonic() - t
+            times["network"] = 0.0
+            net = NetworkResult(
+                edges=edges,
+                n_inter_edges=dstats.get("n_edges", len(edges)),
+                n_intra_edges=0,
+                genome_max=np.zeros((0, 0), np.float32),
+                inter_max_score=np.zeros((0, 0), np.float32),
+                stats=dstats,
+            )
+
+    if net is None:
+        t = time.monotonic()
+        cells = compute_cells(index, config)
+        times["score"] = time.monotonic() - t
+
+        t = time.monotonic()
+        finalized = finalize_scores(cells, index.kseq_lengths, k)
+        net = build_network(
+            finalized, index.seq_genome, ds.n_genomes, ds.n_sequences
+        )
+        times["network"] = time.monotonic() - t
 
     if out_prefix and config.write_net:
         write_net(out_prefix + ".net", net.edges)

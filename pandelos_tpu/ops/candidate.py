@@ -375,7 +375,7 @@ def compute_cells_candidate(
         tr = np.asarray(tr).reshape(-1, K)
 
         over = (counts > K) & (grow < G)
-        overflow_rows.extend(grow[over].tolist())
+        overflow_rows.extend(zip(grow[over].tolist(), counts[over].tolist()))
         ok = ~over
 
         vmask = valid & ok[:, None]
@@ -387,16 +387,56 @@ def compute_cells_candidate(
         t_out.append(tr[vmask].astype(np.int64))
 
     if overflow_rows:
-        fb = _host_fallback_rows(index, sorted(set(overflow_rows)))
-        # the fallback returns ALL cells incl. invalid; keep everything —
-        # finalize drops invalid identically, but also keep the mirrored
-        # direction consistent: device rows (j, i) for j not overflowing
-        # were already emitted.
-        r_out.append(fb.row)
-        c_out.append(fb.col)
-        i_out.append(fb.intersection)
-        p_out.append(fb.perc_cnt)
-        t_out.append(fb.tr_perc_cnt)
+        by_row = {}
+        for r, c in overflow_rows:
+            by_row[int(r)] = max(by_row.get(int(r), 0), int(c))
+        rows = sorted(by_row)
+        K2 = _round_up(max(by_row.values()), 128)
+        if K2 <= 4096:
+            # device retry: rerun just the overflowing rows with a larger
+            # candidate cap (their exact candidate counts are known)
+            perm2 = np.asarray(rows, dtype=np.int32)
+            pad = (-len(perm2)) % row_block
+            perm2 = np.concatenate(
+                [perm2, np.full(pad + row_block, G, dtype=np.int32)]
+            )
+            starts2 = np.arange(
+                0, len(perm2) - row_block, row_block, dtype=np.int32
+            )
+            grow, cand, inter, perc, tr, valid, counts = _candidate_blocks(
+                all_ids,
+                all_counts,
+                sig_mass,
+                col_lens,
+                jnp.asarray(perm2),
+                jnp.asarray(starts2),
+                row_block=row_block,
+                w_row=padded.width,
+                cand_cap=K2,
+                n_true=G,
+                k2=2 * index.k,
+            )
+            grow = np.asarray(grow).reshape(-1)
+            valid = np.asarray(valid).reshape(-1, K2)
+            cand = np.asarray(cand).reshape(-1, K2)
+            inter = np.asarray(inter).reshape(-1, K2)
+            perc = np.asarray(perc).reshape(-1, K2)
+            tr = np.asarray(tr).reshape(-1, K2)
+            rr = np.broadcast_to(grow[:, None], cand.shape)[valid]
+            r_out.append(rr.astype(np.int32))
+            c_out.append(cand[valid].astype(np.int32))
+            i_out.append(inter[valid].astype(np.int64))
+            p_out.append(perc[valid].astype(np.int64))
+            t_out.append(tr[valid].astype(np.int64))
+        else:
+            # pathological rows: exact host posting walk (returns ALL
+            # cells incl. invalid; finalize drops invalid identically)
+            fb = _host_fallback_rows(index, rows)
+            r_out.append(fb.row)
+            c_out.append(fb.col)
+            i_out.append(fb.intersection)
+            p_out.append(fb.perc_cnt)
+            t_out.append(fb.tr_perc_cnt)
 
     return ScoreCells(
         np.concatenate(r_out),

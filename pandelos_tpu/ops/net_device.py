@@ -235,13 +235,60 @@ def compute_network_device(
 
     counts_all = np.concatenate([np.asarray(c) for c in counts_parts])
     grow_host = np.concatenate(grow_host_parts)
-    if np.any((counts_all > K) & (grow_host < G)):
-        return None  # candidate-cap overflow: use the host cells path
 
     grow_d = jnp.concatenate(grow_parts)
     cand_d = jnp.concatenate(cand_parts)
     inter_d = jnp.concatenate(inter_parts)
     valid_d = jnp.concatenate(valid_parts)
+
+    over_mask = (counts_all > K) & (grow_host < G)
+    if np.any(over_mask):
+        # rerun the overflowing rows on device with a larger uniform cap,
+        # append them, and invalidate the truncated originals
+        rows = np.unique(grow_host[over_mask])
+        K2 = _round_up(int(counts_all[over_mask].max()), 128)
+        if K2 > 1024:
+            return None  # pathological: use the host cells path
+        perm2 = np.concatenate(
+            [
+                rows.astype(np.int32),
+                np.full(
+                    ((-len(rows)) % row_block) + row_block, G, dtype=np.int32
+                ),
+            ]
+        )
+        starts2 = np.arange(
+            0, len(perm2) - row_block, row_block, dtype=np.int32
+        )
+        g2, c2, i2, _, _, v2, cnt2 = _candidate_blocks(
+            all_ids,
+            all_counts,
+            sig_mass,
+            col_lens,
+            jnp.asarray(perm2),
+            jnp.asarray(starts2),
+            row_block=row_block,
+            w_row=padded.width,
+            cand_cap=K2,
+            n_true=G,
+            k2=2 * index.k,
+        )
+        # widen main arrays K -> K2 with inert slots
+        padk = K2 - K
+        if padk:
+            cand_d = jnp.pad(cand_d, ((0, 0), (0, padk)), constant_values=G)
+            inter_d = jnp.pad(inter_d, ((0, 0), (0, padk)))
+            valid_d = jnp.pad(valid_d, ((0, 0), (0, padk)))
+        valid_d = valid_d & ~jnp.asarray(over_mask)[:, None]
+        grow_d = jnp.concatenate([grow_d, g2.reshape(-1)])
+        cand_d = jnp.concatenate([cand_d, c2.reshape(-1, K2)])
+        inter_d = jnp.concatenate([inter_d, i2.reshape(-1, K2)])
+        valid_d = jnp.concatenate([valid_d, v2.reshape(-1, K2)])
+        host_rows2 = perm2[
+            np.concatenate([np.arange(s, s + row_block) for s in starts2])
+        ]
+        grow_host = np.concatenate([grow_host, host_rows2])
+        K = K2
 
     # pad P to a row-chunk multiple with inert rows
     P = grow_d.shape[0]

@@ -33,13 +33,17 @@ def test_device_bbh_matches_host(seed):
     assert got == want
 
 
-def test_device_bbh_overflow_returns_none():
+def test_device_bbh_overflow_retry_matches_host():
+    # a tiny candidate cap forces the on-device widened retry path
     rng = np.random.default_rng(2)
     ds = _random_ds(rng, n_genomes=4, n_fams=8)
     idx = build_index(ds, k=3)
     cfg = PipelineConfig(row_block=8, col_block=128, candidate_cap=2)
     out = compute_network_device(idx, cfg)
-    assert out is None
+    assert out is not None
+    edges, _ = out
+    got = {(a, b): np.float32(s) for a, b, s in edges}
+    assert got == _host_edges(idx)
 
 
 def test_device_bbh_paralogs_and_identical_genes():

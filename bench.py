@@ -29,6 +29,10 @@ REFERENCE_LOOKUPS_PER_SEC = 40505.500586716735 * 1000.0  # library.cpp:352
 
 
 def main() -> int:
+    from pandelos_tpu.utils.jaxenv import enable_compilation_cache
+
+    enable_compilation_cache()
+
     preset = os.environ.get("BENCH_PRESET", "mycoplasma64")
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
@@ -72,6 +76,7 @@ def main() -> int:
     total_lookups = int(index.computation_costs.sum())
 
     backend = os.environ.get("BENCH_BACKEND", "xla")
+    use_device_bbh = os.environ.get("BENCH_DEVICE_BBH", "1") != "0"
     config = PipelineConfig(
         backend=backend, row_block=128, col_block=512, level_cap=4
     )
@@ -82,25 +87,47 @@ def main() -> int:
 
     device = jax.devices()[0]
 
-    t0 = time.monotonic()
-    cells = compute_cells(index, config)  # includes first-call compile
-    timings["score_with_compile"] = time.monotonic() - t0
+    net = None
+    n_cells = 0
+    if use_device_bbh and backend == "xla":
+        from pandelos_tpu.ops.net_device import compute_network_device
 
-    t0 = time.monotonic()
-    cells = compute_cells(index, config)
-    score_time = time.monotonic() - t0
-    timings["score"] = score_time
+        t0 = time.monotonic()
+        out = compute_network_device(index, config)
+        timings["score_with_compile"] = time.monotonic() - t0
+        if out is not None:
+            t0 = time.monotonic()
+            out = compute_network_device(index, config)
+            score_time = time.monotonic() - t0
+            timings["score"] = score_time
 
-    # --- finalize + network + cluster (host), end-to-end sanity
+            class _Net:
+                edges = out[0]
+
+            net = _Net()
+
+    if net is None:
+        t0 = time.monotonic()
+        cells = compute_cells(index, config)  # includes first-call compile
+        timings["score_with_compile"] = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        cells = compute_cells(index, config)
+        score_time = time.monotonic() - t0
+        timings["score"] = score_time
+        n_cells = int(len(cells.row))
+
+        # --- finalize + network (host)
+        from pandelos_tpu.net import build_network, finalize_scores
+
+        t0 = time.monotonic()
+        fin = finalize_scores(cells, index.kseq_lengths, index.k)
+        net = build_network(
+            fin, index.seq_genome, index.n_genomes, index.n_sequences
+        )
+        timings["network"] = time.monotonic() - t0
+
     from pandelos_tpu.cluster import cluster_network
-    from pandelos_tpu.net import build_network, finalize_scores
-
-    t0 = time.monotonic()
-    fin = finalize_scores(cells, index.kseq_lengths, index.k)
-    net = build_network(
-        fin, index.seq_genome, index.n_genomes, index.n_sequences
-    )
-    timings["network"] = time.monotonic() - t0
     t0 = time.monotonic()
     clusters = cluster_network(net.edges, index.seq_genome, index.n_sequences)
     timings["cluster"] = time.monotonic() - t0
@@ -121,7 +148,7 @@ def main() -> int:
             "n_genomes": index.n_genomes,
             "k": index.k,
             "total_lookups": total_lookups,
-            "n_cells": int(len(cells.row)),
+            "n_cells": n_cells,
             "n_edges": len(net.edges),
             "n_families": len(clusters.families),
             "maxrss_mb": round(maxrss_mb, 1),

@@ -62,6 +62,11 @@ class PipelineConfig:
     # pandelos.sh:73-76); allows resuming clustering without rescoring.
     checkpoint_dir: Optional[str] = None
 
+    # --- observability
+    # When set, the score phase runs under a JAX profiler trace written to
+    # this directory (viewable with TensorBoard / xprof).
+    profile_dir: Optional[str] = None
+
     # --- verification
     # Edge-weight tolerance used by the differential checker (the reference
     # harness uses 0.001, benchmark/test-framework/src/main.rs:144-148).

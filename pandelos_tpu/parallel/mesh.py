@@ -45,6 +45,22 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def make_mesh_2d(
+    n_hosts: int, n_per_host: int, axes=("hosts", "rows")
+) -> Mesh:
+    """Two-level mesh for multi-host runs: the outer axis maps to DCN
+    (host boundary), the inner to ICI.  Row sharding uses BOTH axes
+    (PartitionSpec((hosts, rows))), so collectives that merge row-shard
+    maxima ride ICI within a host and cross DCN once per host."""
+    devices = jax.devices()
+    need = n_hosts * n_per_host
+    if need > len(devices):
+        raise ValueError(f"requested {need} devices, only {len(devices)}")
+    return Mesh(
+        np.array(devices[:need]).reshape(n_hosts, n_per_host), axes
+    )
+
+
 def _finalize_f32(inter, perc, tr, len_rows, len_cols, k):
     """On-device f32 finalization (library.cpp:493-502 formulas)."""
     union = len_rows[:, None] + len_cols[None, :] - inter
@@ -136,8 +152,9 @@ def sharded_score_step(
     return jax.jit(shard)
 
 
-def shard_rows(mesh: Mesh, arr, axis: str = "rows"):
-    """Place an array with its leading axis sharded over the mesh."""
+def shard_rows(mesh: Mesh, arr, axis="rows"):
+    """Place an array with its leading axis sharded over the mesh; pass a
+    tuple of axis names to shard over a multi-level mesh."""
     return jax.device_put(arr, NamedSharding(mesh, P(axis, *([None] * (arr.ndim - 1)))))
 
 

@@ -108,6 +108,15 @@ def run_pipeline(
             stats={"complexity": report},
         )
 
+    profile_cm = None
+    if config.profile_dir:
+        import contextlib
+
+        import jax
+
+        profile_cm = jax.profiler.trace(config.profile_dir)
+        profile_cm.__enter__()
+
     net = None
     if config.device_bbh and _resolve_backend(config.backend) in (
         "xla",
@@ -141,6 +150,9 @@ def run_pipeline(
             finalized, index.seq_genome, ds.n_genomes, ds.n_sequences
         )
         times["network"] = time.monotonic() - t
+
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
 
     if out_prefix and config.write_net:
         write_net(out_prefix + ".net", net.edges)

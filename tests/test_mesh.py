@@ -108,6 +108,56 @@ def test_sharded_step_matches_single_device():
     assert stats.shape == (idx.n_genomes, idx.n_genomes)
 
 
+def test_two_level_mesh_matches_single_device():
+    """hosts x rows mesh (DCN x ICI layout): row axis sharded over both
+    levels must give identical results."""
+    from pandelos_tpu.parallel.mesh import make_mesh_2d
+
+    n_hosts, n_per = 2, 4
+    idx, padded, ids, counts, G_pad = _setup(8, 8 * 8)
+    mesh = make_mesh_2d(n_hosts, n_per)
+    axis = ("hosts", "rows")
+
+    seq_genome_pad = np.zeros(G_pad, np.int32)
+    seq_genome_pad[: idx.n_sequences] = idx.seq_genome
+    lens_pad = np.zeros(G_pad, np.float32)
+    lens_pad[: idx.n_sequences] = idx.kseq_lengths
+    row_lens = np.zeros(ids.shape[0], np.float32)
+    row_lens[: idx.n_sequences] = idx.kseq_lengths
+
+    step = sharded_score_step(
+        mesh,
+        vocab_size=idx.vocab_size,
+        n_genomes=idx.n_genomes,
+        k=idx.k,
+        col_block=128,
+        level_cap=4,
+        axis=axis,
+    )
+    inter_sh, _, _, M_full = step(
+        shard_rows(mesh, ids, axis=axis),
+        shard_rows(mesh, counts, axis=axis),
+        replicate(mesh, padded.ids),
+        replicate(mesh, padded.counts),
+        replicate(mesh, seq_genome_pad),
+        replicate(mesh, lens_pad),
+        shard_rows(mesh, row_lens, axis=axis),
+        shard_rows(mesh, np.arange(ids.shape[0], dtype=np.int32), axis=axis),
+    )
+    inter_1, _, _ = _score_row_block(
+        ids,
+        counts,
+        padded.ids,
+        padded.counts,
+        vocab_size=idx.vocab_size,
+        col_block=128,
+        level_cap=4,
+        matmul_dtype="bf16",
+    )
+    np.testing.assert_array_equal(np.asarray(inter_sh), np.asarray(inter_1))
+    assert M_full.shape == (ids.shape[0], idx.n_genomes)
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 

@@ -28,10 +28,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_LOOKUPS_PER_SEC = 40505.500586716735 * 1000.0  # library.cpp:352
 
 
+def _device_healthy(timeout_s: float = 150.0) -> bool:
+    """Probe the accelerator in a SUBPROCESS under a watchdog; the remote
+    TPU tunnel can wedge for hours after a worker crash, and a hung
+    backend init would poison this process too."""
+    import subprocess
+
+    code = (
+        "import jax, numpy as np;"
+        "x = jax.device_put(np.ones((8, 128), np.float32));"
+        "assert float(x.sum()) == 1024.0"
+    )
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return rc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
     from pandelos_tpu.utils.jaxenv import enable_compilation_cache
 
     enable_compilation_cache()
+
+    device_note = None
+    if not _device_healthy():
+        # accelerator unreachable: fall back to CPU so the bench always
+        # reports (marked in extra.device_note)
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        device_note = "accelerator unreachable; CPU fallback"
+        if os.environ.get("BENCH_PRESET") is None:
+            os.environ["BENCH_PRESET"] = "toy"
 
     preset = os.environ.get("BENCH_PRESET", "mycoplasma64")
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cache")
@@ -152,6 +188,7 @@ def main() -> int:
             "n_edges": len(net.edges),
             "n_families": len(clusters.families),
             "maxrss_mb": round(maxrss_mb, 1),
+            "device_note": device_note,
             "timings_s": {kk: round(v, 3) for kk, v in timings.items() if v is not None},
             "reference_eta_s": round(
                 total_lookups / REFERENCE_LOOKUPS_PER_SEC, 3

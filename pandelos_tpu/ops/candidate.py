@@ -92,7 +92,10 @@ def build_signatures(
     )
 
     n_buckets, shift = pick_buckets(
-        index.vocab_size, max(1, index.max_profile_len), index.k
+        index.vocab_size,
+        max(1, index.max_profile_len),
+        index.k,
+        n_genes=padded.ids.shape[0],
     )
     use_device = (not force_host) and jax.default_backend() not in ("cpu",)
     if use_device:
@@ -100,9 +103,13 @@ def build_signatures(
             jnp.asarray(padded.ids), jnp.asarray(padded.counts),
             n_buckets=n_buckets, shift=shift,
         )
-        return _bf16_round_up_jnp(mass), n_buckets, shift
+        return _bf16_round_up_jnp(mass).astype(jnp.bfloat16), n_buckets, shift
     mass = host_histogram(padded.ids, padded.counts, n_buckets, shift)
-    return jnp.asarray(_bf16_round_up(mass)), n_buckets, shift
+    return (
+        jnp.asarray(_bf16_round_up(mass)).astype(jnp.bfloat16),
+        n_buckets,
+        shift,
+    )
 
 
 @functools.partial(
@@ -131,8 +138,8 @@ def _candidate_blocks(
     G_pad, W = all_ids.shape
     R = row_block
     K = cand_cap
-    sig_pres = (sig_mass > 0).astype(jnp.bfloat16)
     sig_bf = sig_mass.astype(jnp.bfloat16)
+    sig_pres = (sig_bf != 0).astype(jnp.bfloat16)
 
     def body(_, start):
         idxs = jax.lax.dynamic_slice(perm_pad, (start,), (R,))  # [R]

@@ -124,13 +124,24 @@ def host_histogram(ids, counts, n_buckets: int, shift: int):
     return hist.reshape(G_pad, n_buckets).astype(np.float32)
 
 
-def pick_buckets(vocab_size: int, max_width: int, k: int) -> tuple:
-    """(n_buckets, shift): noise per pair ~ W_max/B must sit well under
-    the validity threshold 1/(2k); target W_max/B <= 1/(16k)."""
-    target = max(4096, 16 * k * max_width)
+def pick_buckets(
+    vocab_size: int, max_width: int, k: int, n_genes: int = 0
+) -> tuple:
+    """(n_buckets, shift).
+
+    Collision noise on the perc bound for a random pair is ~|A| * W/B
+    (mean) with sigma ~ sqrt(W^2/B); the validity threshold is |A|/(2k).
+    Target B = 8*k*W puts mean noise at threshold/4 (mean + 5 sigma still
+    clears the threshold), bounded below by 4096 and above by a device
+    memory cap (~6GB for mass+presence bf16 signatures)."""
+    target = max(4096, 8 * k * max_width)
     n_buckets = BUCKET_CHUNK
-    while n_buckets < target and n_buckets < 65536:
+    while n_buckets < target and n_buckets < 131072:
         n_buckets *= 2
+    if n_genes:
+        mem_cap = int(6e9 // (4 * max(1, n_genes)))
+        while n_buckets > BUCKET_CHUNK and n_buckets > mem_cap:
+            n_buckets //= 2
     shift = 0
     while (max(1, vocab_size - 1) >> shift) >= n_buckets:
         shift += 1

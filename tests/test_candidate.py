@@ -98,7 +98,7 @@ def test_signature_bound_holds():
     idx = build_index(ds, k=3)
     padded = pad_profiles(idx, 8, 128)
     sig, n_buckets, shift = build_signatures(idx, padded, force_host=True)
-    sig = np.asarray(sig)
+    sig = np.asarray(sig).astype(np.float32)
     pres = (sig > 0).astype(np.float32)
     bound = sig @ pres.T
     cells = compute_cells_oracle(idx)

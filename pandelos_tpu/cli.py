@@ -31,6 +31,17 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--col-block", type=int, default=None)
     p.add_argument("--level-cap", type=int, default=None)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument(
+        "--devices",
+        type=int,
+        default=None,
+        help="shard the scoring row axis over N devices (-j analogue)",
+    )
+    p.add_argument(
+        "--device-bbh",
+        action="store_true",
+        help="run BBH network construction on device",
+    )
 
 
 def _config_from_args(args) -> PipelineConfig:
@@ -43,6 +54,10 @@ def _config_from_args(args) -> PipelineConfig:
         cfg.level_cap = args.level_cap
     if getattr(args, "checkpoint_dir", None):
         cfg.checkpoint_dir = args.checkpoint_dir
+    if getattr(args, "devices", None):
+        cfg.n_devices = args.devices
+    if getattr(args, "device_bbh", False):
+        cfg.device_bbh = True
     return cfg
 
 

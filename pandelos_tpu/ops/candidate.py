@@ -308,6 +308,92 @@ def _host_fallback_rows(index: KmerIndex, rows) -> ScoreCells:
     )
 
 
+class BlockRunner:
+    """Dispatches `_candidate_blocks` bucket scans across one or more
+    devices — the TPU analogue of the reference's one-thread-per-genome
+    pool (Pangenes.java:54-64): row-block ranges are embarrassingly
+    parallel over a read-only index, so each device gets a contiguous
+    slice of the scan and runs asynchronously; results are concatenated
+    in order on host."""
+
+    def __init__(self, index: KmerIndex, padded, sig_mass, config):
+        G_pad = padded.ids.shape[0]
+        n_dev = config.n_devices or 1
+        devices = jax.devices()[: max(1, n_dev)]
+        self.devices = devices
+        self.index = index
+        self.G = index.n_sequences
+        lens_pad = np.zeros(G_pad, dtype=np.float32)
+        lens_pad[: self.G] = index.kseq_lengths
+        if len(devices) <= 1:
+            self.reps = [
+                (
+                    jnp.asarray(padded.ids),
+                    jnp.asarray(padded.counts),
+                    sig_mass,
+                    jnp.asarray(lens_pad),
+                )
+            ]
+        else:
+            self.reps = [
+                (
+                    jax.device_put(padded.ids, d),
+                    jax.device_put(padded.counts, d),
+                    jax.device_put(sig_mass, d),
+                    jax.device_put(lens_pad, d),
+                )
+                for d in devices
+            ]
+
+    def run(self, perm_ext, starts, row_block, w_row, cand_cap):
+        """Run a bucket's starts across devices.  Returns numpy outputs
+        (grow, cand, inter, perc, tr, valid, counts) flattened over
+        blocks*rows in starts order (padded blocks emit inert rows)."""
+        n_dev = len(self.reps)
+        chunks = np.array_split(starts, n_dev) if n_dev > 1 else [starts]
+        pending = []
+        for di, (rep, chunk) in enumerate(zip(self.reps, chunks)):
+            if len(chunk) == 0:
+                continue
+            n2 = 1
+            while n2 < len(chunk):
+                n2 *= 2
+            chunk_ext = np.concatenate(
+                [chunk, np.full(n2 - len(chunk), len(perm_ext) - row_block,
+                                dtype=np.int32)]
+            )
+            all_ids, all_counts, sig, col_lens = rep
+            perm_dev = (
+                jax.device_put(perm_ext, self.devices[di])
+                if n_dev > 1
+                else jnp.asarray(perm_ext)
+            )
+            starts_dev = (
+                jax.device_put(chunk_ext, self.devices[di])
+                if n_dev > 1
+                else jnp.asarray(chunk_ext)
+            )
+            outs = _candidate_blocks(
+                all_ids,
+                all_counts,
+                sig,
+                col_lens,
+                perm_dev,
+                starts_dev,
+                row_block=row_block,
+                w_row=w_row,
+                cand_cap=cand_cap,
+                n_true=self.G,
+                k2=2 * self.index.k,
+            )
+            pending.append((outs, len(chunk)))
+        collected = []
+        for (outs, n_real) in pending:
+            host = [np.asarray(o) for o in outs]
+            collected.append([h[:n_real] for h in host])
+        return [np.concatenate(parts) for parts in zip(*collected)]
+
+
 def compute_cells_candidate(
     index: KmerIndex, config: Optional[PipelineConfig] = None
 ) -> ScoreCells:
@@ -332,13 +418,7 @@ def compute_cells_candidate(
     K = config.candidate_cap
 
     sig_mass, _, _ = build_signatures(index, padded, config)
-
-    all_ids = jnp.asarray(padded.ids)
-    all_counts = jnp.asarray(padded.counts)
-
-    lens_pad = np.zeros(G_pad, dtype=np.float32)
-    lens_pad[:G] = index.kseq_lengths
-    col_lens = jnp.asarray(lens_pad)
+    runner = BlockRunner(index, padded, sig_mass, config)
 
     widths = np.diff(index.profile_ptr)
 
@@ -348,38 +428,19 @@ def compute_cells_candidate(
     for w_row, perm_pad, starts in _width_buckets(
         widths, row_block, padded.width
     ):
-        # pad the scan length to a power of two (fewer compiled variants);
-        # extra starts point at an all-padding block and emit nothing
         perm_ext = np.concatenate(
             [perm_pad, np.full(row_block, G, dtype=np.int32)]
         )
-        n_starts = len(starts)
-        n2 = 1
-        while n2 < n_starts:
-            n2 *= 2
-        starts_ext = np.concatenate(
-            [starts, np.full(n2 - n_starts, len(perm_pad), dtype=np.int32)]
+        grow, cand, inter, perc, tr, valid, counts = runner.run(
+            perm_ext, starts, row_block, w_row, K
         )
-        grow, cand, inter, perc, tr, valid, counts = _candidate_blocks(
-            all_ids,
-            all_counts,
-            sig_mass,
-            col_lens,
-            jnp.asarray(perm_ext),
-            jnp.asarray(starts_ext),
-            row_block=row_block,
-            w_row=w_row,
-            cand_cap=K,
-            n_true=G,
-            k2=2 * index.k,
-        )
-        grow = np.asarray(grow).reshape(-1)  # [n_blocks * R]
-        counts = np.asarray(counts).reshape(-1)
-        valid = np.asarray(valid).reshape(-1, K)
-        cand = np.asarray(cand).reshape(-1, K)
-        inter = np.asarray(inter).reshape(-1, K)
-        perc = np.asarray(perc).reshape(-1, K)
-        tr = np.asarray(tr).reshape(-1, K)
+        grow = grow.reshape(-1)  # [n_blocks * R]
+        counts = counts.reshape(-1)
+        valid = valid.reshape(-1, K)
+        cand = cand.reshape(-1, K)
+        inter = inter.reshape(-1, K)
+        perc = perc.reshape(-1, K)
+        tr = tr.reshape(-1, K)
 
         over = (counts > K) & (grow < G)
         overflow_rows.extend(zip(grow[over].tolist(), counts[over].tolist()))
@@ -410,25 +471,15 @@ def compute_cells_candidate(
             starts2 = np.arange(
                 0, len(perm2) - row_block, row_block, dtype=np.int32
             )
-            grow, cand, inter, perc, tr, valid, counts = _candidate_blocks(
-                all_ids,
-                all_counts,
-                sig_mass,
-                col_lens,
-                jnp.asarray(perm2),
-                jnp.asarray(starts2),
-                row_block=row_block,
-                w_row=padded.width,
-                cand_cap=K2,
-                n_true=G,
-                k2=2 * index.k,
+            grow, cand, inter, perc, tr, valid, counts = runner.run(
+                perm2, starts2, row_block, padded.width, K2
             )
-            grow = np.asarray(grow).reshape(-1)
-            valid = np.asarray(valid).reshape(-1, K2)
-            cand = np.asarray(cand).reshape(-1, K2)
-            inter = np.asarray(inter).reshape(-1, K2)
-            perc = np.asarray(perc).reshape(-1, K2)
-            tr = np.asarray(tr).reshape(-1, K2)
+            grow = grow.reshape(-1)
+            valid = valid.reshape(-1, K2)
+            cand = cand.reshape(-1, K2)
+            inter = inter.reshape(-1, K2)
+            perc = perc.reshape(-1, K2)
+            tr = tr.reshape(-1, K2)
             rr = np.broadcast_to(grow[:, None], cand.shape)[valid]
             r_out.append(rr.astype(np.int32))
             c_out.append(cand[valid].astype(np.int32))

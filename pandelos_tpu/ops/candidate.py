@@ -235,8 +235,10 @@ def _candidate_blocks(
             return ins(inter_o, inter_k), ins(perc_o, perc_k), ins(tr_o, tr_k)
 
         zeros = jnp.zeros((R, K), dtype=jnp.float32)
+        # only walk candidate slots that exist somewhere in this block
+        k_used = jnp.minimum(jnp.max(counts), K)
         inter, perc, tr = jax.lax.fori_loop(
-            0, K, k_step, (zeros, zeros, zeros)
+            0, k_used, k_step, (zeros, zeros, zeros)
         )
 
         # --- validity (exact integer form of the 1/(2k) threshold)

@@ -1,0 +1,59 @@
+"""Golden-file regression tests (SURVEY §4 recommendation (a)).
+
+The committed .net/.clus files were produced by the oracle backend; every
+backend must reproduce them byte-identically.  These pin the pipeline
+semantics across refactors — if a change legitimately alters outputs, the
+goldens must be regenerated deliberately.
+"""
+
+import filecmp
+import os
+
+import pytest
+
+from pandelos_tpu.config import PipelineConfig
+from pandelos_tpu.pipeline import run_pipeline
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+CASES = [
+    ("toy", os.path.join(DATA, "toy.faa")),
+    ("synth_small", os.path.join(GOLDEN, "synth_small.faa")),
+    ("synth_edge", os.path.join(GOLDEN, "synth_edge.faa")),
+]
+
+
+@pytest.mark.parametrize("name,faa", CASES, ids=[c[0] for c in CASES])
+@pytest.mark.parametrize("backend", ["oracle", "dense", "xla"])
+def test_backend_reproduces_golden(tmp_path, name, faa, backend):
+    prefix = str(tmp_path / name)
+    cfg = PipelineConfig(backend=backend, row_block=16, col_block=128,
+                         candidate_cap=64)
+    run_pipeline(faa, prefix, cfg)
+    assert filecmp.cmp(prefix + ".net", os.path.join(GOLDEN, name + ".net"),
+                       shallow=False), "network differs from golden"
+    assert filecmp.cmp(prefix + ".clus", os.path.join(GOLDEN, name + ".clus"),
+                       shallow=False), "families differ from golden"
+
+
+def test_device_bbh_reproduces_golden(tmp_path):
+    name, faa = CASES[1]
+    prefix = str(tmp_path / name)
+    cfg = PipelineConfig(backend="xla", device_bbh=True, row_block=16,
+                         col_block=128, candidate_cap=64)
+    run_pipeline(faa, prefix, cfg)
+    assert filecmp.cmp(prefix + ".net", os.path.join(GOLDEN, name + ".net"),
+                       shallow=False)
+    assert filecmp.cmp(prefix + ".clus", os.path.join(GOLDEN, name + ".clus"),
+                       shallow=False)
+
+
+def test_determinism_across_runs(tmp_path):
+    name, faa = CASES[2]
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    cfg = PipelineConfig(backend="xla", row_block=16, col_block=128)
+    run_pipeline(faa, p1, cfg)
+    run_pipeline(faa, p2, cfg)
+    assert filecmp.cmp(p1 + ".net", p2 + ".net", shallow=False)
+    assert filecmp.cmp(p1 + ".clus", p2 + ".clus", shallow=False)

@@ -15,6 +15,8 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <algorithm>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -85,50 +87,52 @@ int pt_build_index(const uint8_t* concat, int64_t total_len,
         int64_t len = offsets[s + 1] - offsets[s];
         if (len >= k) n_windows += len - k + 1;
     }
-    std::vector<Entry> entries;
-    entries.reserve(n_windows);
+    std::vector<Entry> entries(n_windows);
     uint64_t top_mult = 1;  // base^(k-1)
     for (int i = 0; i < k - 1; i++) top_mult *= base;
+
+    // per-gene output offsets (windows are gene-major)
+    std::vector<int64_t> win_off(n_seq + 1, 0);
     for (int64_t s = 0; s < n_seq; s++) {
-        const int64_t beg = offsets[s], end = offsets[s + 1];
-        const int64_t len = end - beg;
-        if (len < k) continue;
-        uint64_t key = 0;
-        for (int64_t i = 0; i < k; i++) key = key * base + rank_values[concat[beg + i]];
-        entries.push_back({key, (uint32_t)s});
-        for (int64_t i = beg + k; i < end; i++) {
-            key = (key - rank_values[concat[i - k]] * top_mult) * base +
-                  rank_values[concat[i]];
-            entries.push_back({key, (uint32_t)s});
-        }
+        const int64_t len = offsets[s + 1] - offsets[s];
+        win_off[s + 1] = win_off[s] + (len >= k ? len - k + 1 : 0);
     }
 
-    // --- sort: key-major; gene order within a key group is restored by the
-    // stable per-gene counting pass below, so only the key needs sorting,
-    // but duplicate (key, gene) runs must be countable -> sort genes within
-    // groups via a second stable radix pass by gene first.
-    {
-        // stable LSD: first by gene (so equal keys end up gene-ordered)...
-        std::vector<Entry> tmp(entries.size());
-        uint32_t max_gene = n_seq > 0 ? (uint32_t)(n_seq - 1) : 0;
-        int gpasses = 0;
-        uint32_t mg = max_gene;
-        while (mg) {
-            gpasses++;
-            mg >>= 8;
+    const unsigned n_threads =
+        std::max(1u, std::min(std::thread::hardware_concurrency(), 8u));
+    auto fill_range = [&](int64_t s0, int64_t s1) {
+        for (int64_t s = s0; s < s1; s++) {
+            const int64_t beg = offsets[s], end = offsets[s + 1];
+            if (end - beg < k) continue;
+            int64_t out = win_off[s];
+            uint64_t key = 0;
+            for (int64_t i = 0; i < k; i++)
+                key = key * base + rank_values[concat[beg + i]];
+            entries[out++] = {key, (uint32_t)s};
+            for (int64_t i = beg + k; i < end; i++) {
+                key = (key - rank_values[concat[i - k]] * top_mult) * base +
+                      rank_values[concat[i]];
+                entries[out++] = {key, (uint32_t)s};
+            }
         }
-        if (gpasses == 0) gpasses = 1;
-        for (int p = 0; p < gpasses; p++) {
-            size_t cnt[257] = {0};
-            const int shift = p * 8;
-            for (const auto& e : entries) cnt[((e.gene >> shift) & 0xFF) + 1]++;
-            for (int i = 1; i < 257; i++) cnt[i] += cnt[i - 1];
-            for (const auto& e : entries) tmp[cnt[(e.gene >> shift) & 0xFF]++] = e;
-            entries.swap(tmp);
+    };
+    if (n_threads > 1 && n_seq > 64) {
+        std::vector<std::thread> pool;
+        const int64_t per = (n_seq + n_threads - 1) / n_threads;
+        for (unsigned t = 0; t < n_threads; t++) {
+            const int64_t s0 = t * per;
+            const int64_t s1 = std::min<int64_t>(n_seq, s0 + per);
+            if (s0 < s1) pool.emplace_back(fill_range, s0, s1);
         }
-        // ...then by key (stable)
-        radix_sort_by_key(entries, max_key);
+        for (auto& th : pool) th.join();
+    } else {
+        fill_range(0, n_seq);
     }
+
+    // --- sort by key only: entries were generated gene-major, and the
+    // LSD radix passes are stable, so equal keys stay gene-ordered with
+    // duplicate (key, gene) runs adjacent — no gene sort needed.
+    radix_sort_by_key(entries, max_key);
 
     // --- linear pass: (key, gene) runs -> entries with counts; key groups
     // with >= 2 entries get a dense shared id; costs accrue group size.

@@ -33,6 +33,7 @@ def _build_so() -> None:
         "-std=c++17",
         "-shared",
         "-fPIC",
+        "-pthread",
         _SRC,
         "-o",
         _SO,

@@ -137,7 +137,13 @@ def _dispatch(args) -> int:
         from pandelos_tpu.pipeline import run_pipeline
 
         res = run_pipeline(args.input, args.out_prefix, _config_from_args(args))
-        print(json.dumps({"stats": res.stats, "phase_times": res.phase_times}, indent=2))
+        stats = dict(res.stats)
+        if "network" in stats and "genome_pairs" in stats.get("network", {}):
+            stats["network"] = {
+                k: v for k, v in stats["network"].items() if k != "genome_pairs"
+            }
+            stats["network"]["genome_pairs"] = "written to .stats.json"
+        print(json.dumps({"stats": stats, "phase_times": res.phase_times}, indent=2))
         return 0
 
     if args.cmd == "complexity":

@@ -157,11 +157,38 @@ def build_network(
     edges = list(zip(ea.tolist(), eb.tolist(), escore.astype(float).tolist()))
 
     # Diagnostic stats in the spirit of Pangenes.java:130-143 (print-only in
-    # the reference), structured here.
+    # the reference), structured here: per-genome-pair accepted-score
+    # aggregates (inter_thr mean, min/max score, min/max perc).
     stats = {
         "n_cells": int(len(cells.row)),
         "n_accepted_inter_cells": int(accepted.sum()),
         "n_inter_edges": n_inter,
         "n_intra_edges": n_intra,
     }
+    if n_genomes <= 128 and accepted.any():
+        gp_sum = np.zeros((n_genomes, n_genomes), np.float64)
+        gp_cnt = np.zeros((n_genomes, n_genomes), np.int64)
+        gp_min = np.full((n_genomes, n_genomes), 1.0, np.float32)
+        gp_minp = np.full((n_genomes, n_genomes), 1.0, np.float32)
+        gp_maxp = np.full((n_genomes, n_genomes), 1.0, np.float32)
+        ai, aj = gi[accepted], gj[accepted]
+        asc = cells.score[accepted]
+        ap = cells.perc[accepted]
+        atp = cells.tr_perc[accepted]
+        np.add.at(gp_sum, (ai, aj), asc.astype(np.float64))
+        np.add.at(gp_cnt, (ai, aj), 1)
+        pos = asc > 0.0
+        np.minimum.at(gp_min, (ai[pos], aj[pos]), asc[pos])
+        np.minimum.at(gp_minp, (ai, aj), np.minimum(ap, atp))
+        np.maximum.at(gp_maxp, (ai, aj), np.maximum(ap, atp))
+        with np.errstate(invalid="ignore"):
+            gp_mean = np.where(gp_cnt > 0, gp_sum / np.maximum(gp_cnt, 1), 0.0)
+        stats["genome_pairs"] = {
+            "mean_score": gp_mean.round(6).tolist(),
+            "min_score": gp_min.astype(float).tolist(),
+            "max_score_lt1": inter_max_score.astype(float).tolist(),
+            "min_perc": gp_minp.astype(float).tolist(),
+            "max_perc": gp_maxp.astype(float).tolist(),
+            "accepted_cells": gp_cnt.tolist(),
+        }
     return NetworkResult(edges, n_inter, n_intra, M, inter_max_score, stats)

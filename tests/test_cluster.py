@@ -42,6 +42,25 @@ def test_family_rendering():
     assert lines == sorted(["geneA geneB", "geneC "])
 
 
+def test_gn_split_singleton_has_no_trailing_space():
+    """A singleton produced by Girvan-Newman splitting goes through
+    print_family (no trailing space); a never-in-net singleton keeps the
+    reference's trailing space (netclu_ng.py:117-124 vs :174-175)."""
+    # genes 0,1 share genome 0 and are both linked to 2 only -> collision
+    # -> GN removes one bridge -> one of {0},{1} becomes a split singleton
+    edges = [(0, 2, 0.9), (1, 2, 0.9)]
+    seq_genome = np.array([0, 0, 1, 1])
+    res = cluster_network(edges, seq_genome, 4)
+    sizes = sorted(len(f) for f in res.families)
+    assert sizes == [1, 2]
+    assert res.singletons == [3]
+    fams, singles = families_as_names(res, ["a", "b", "c", "d"])
+    lines = family_lines(fams, singles)
+    # exactly one trailing-space line (gene d), the split singleton is bare
+    assert sum(1 for line in lines if line.endswith(" ")) == 1
+    assert "d " in lines
+
+
 def test_recursive_split_deep():
     # chain of 3 same-genome pairs -> repeated splitting until no collisions
     edges = [

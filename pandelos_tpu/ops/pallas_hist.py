@@ -1,17 +1,24 @@
-"""Pallas TPU kernel: per-gene bucket-mass histogram (signature builder).
+"""Device bucket-mass histogram (signature builder) — scatter-free.
 
 XLA's scatter on TPU is catastrophically slow (measured ~11s for a single
 500k-element scatter), so the [G, B] signature matrix for the candidate
 engine's bound matmuls cannot be built with ``.at[].add`` on device, and
-host-building + upload costs ~20s/GB over the remote-TPU tunnel.  This
-kernel builds it on device:
+host-building + upload costs ~20s/GB over the remote-TPU tunnel.
 
-- buckets are CONTIGUOUS id ranges (``bucket = id >> shift``), so each
-  gene's bucket sequence is sorted (profiles are id-sorted);
-- grid over (gene-block, bucket-chunk); each step binary-searches the
-  gene's sorted entries for the chunk's range, then walks only the
-  in-range entries with a scalar loop accumulating into a VMEM tile —
-  every entry is visited exactly once across the whole grid.
+The device build uses a two-level one-hot MXU contraction instead of any
+scatter: bucket ids split as ``b = hi * 128 + lane``; per gene-chunk the
+two indicator tensors
+
+    A[g, h, w] = counts[g, w] * [hi(g, w) == h]      (f32)
+    B[g, w, l] = [lane(g, w) == l]                   (f32)
+
+contract over w on the MXU (batched over g, HIGHEST precision) to give
+``mass[g, h*128+l]``.  All products are integer * {0,1} and partial sums
+stay below 2^24, so f32 HIGHEST-precision accumulation is exact.  This
+replaced an earlier Pallas scalar-walk kernel: current Mosaic cannot
+store scalars to VMEM, and per-entry one-hot vector updates cost
+O(bucket_chunk) each — the matmul form does the same work at MXU rates
+and lowers everywhere (TPU and CPU).
 
 The same histogram on host is a NumPy bincount (CPU fallback and test
 oracle).
@@ -25,57 +32,9 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-GENE_BLOCK = 8
-BUCKET_CHUNK = 4096
-
-
-def _make_hist_kernel(shift: int, w: int):
-    log_w = max(1, int(np.ceil(np.log2(max(2, w)))))
-
-    def kernel(ids_ref, counts_ref, out_ref, scratch):
-        chunk = pl.program_id(1)
-        lo = chunk * BUCKET_CHUNK
-        hi = lo + BUCKET_CHUNK
-
-        scratch[...] = jnp.zeros_like(scratch)
-
-        def per_gene(g, carry):
-            # binary search: first entry with bucket >= lo (entries are
-            # id-sorted, hence bucket-sorted; sentinel ids sort last)
-            def bs_step(_, bounds):
-                l, r = bounds
-                m = (l + r) // 2
-                b = jax.lax.shift_right_logical(ids_ref[g, m], shift)
-                go_right = b < lo
-                return (jnp.where(go_right, m + 1, l), jnp.where(go_right, r, m))
-
-            start, _ = jax.lax.fori_loop(0, log_w, bs_step, (0, w))
-
-            def walk(state):
-                wi, _ = state
-                b = jax.lax.shift_right_logical(ids_ref[g, wi], shift)
-
-                @pl.when(b < hi)
-                def _():
-                    cnt = counts_ref[g, wi].astype(jnp.float32)
-                    scratch[g, b - lo] = scratch[g, b - lo] + cnt
-
-                return wi + 1, b
-
-            def cond(state):
-                wi, last_b = state
-                return (wi < w) & (last_b < hi)
-
-            jax.lax.while_loop(cond, walk, (start, jnp.int32(0)))
-            return carry
-
-        jax.lax.fori_loop(0, GENE_BLOCK, per_gene, 0)
-        out_ref[...] = scratch[...]
-
-    return kernel
+BUCKET_CHUNK = 4096  # n_buckets granularity (pick_buckets pads to this)
+_LANES = 128
 
 
 @functools.partial(jax.jit, static_argnames=("n_buckets", "shift"))
@@ -83,31 +42,48 @@ def device_histogram(ids, counts, n_buckets: int, shift: int):
     """[G_pad, W] sorted profiles -> [G_pad, n_buckets] f32 bucket masses.
 
     Padding entries must use a sentinel id with ``sentinel >> shift >=
-    n_buckets`` (they sort last and never land in a valid chunk)."""
+    n_buckets`` (their hi-level one-hot row is all zero, so they never
+    contribute)."""
     G_pad, W = ids.shape
-    assert G_pad % GENE_BLOCK == 0
-    assert n_buckets % BUCKET_CHUNK == 0
-    kernel = _make_hist_kernel(shift, W)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((G_pad, n_buckets), jnp.float32),
-        grid=(G_pad // GENE_BLOCK, n_buckets // BUCKET_CHUNK),
-        in_specs=[
-            pl.BlockSpec(
-                (GENE_BLOCK, W), lambda i, j: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (GENE_BLOCK, W), lambda i, j: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (GENE_BLOCK, BUCKET_CHUNK), lambda i, j: (i, j),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[pltpu.VMEM((GENE_BLOCK, BUCKET_CHUNK), jnp.float32)],
-    )(ids, counts)
+    assert n_buckets % _LANES == 0
+    H = n_buckets // _LANES
+
+    # gene-chunk size: cap the [C, H, W] f32 indicator temporary at ~96MB
+    C = max(8, min(G_pad, int(96e6 // max(1, H * W * 4))))
+    n_chunks = -(-G_pad // C)
+
+    hi_iota = jnp.arange(H, dtype=jnp.int32)
+    lane_iota = jnp.arange(_LANES, dtype=jnp.int32)
+
+    def body(ci, out):
+        start = jnp.minimum(ci * C, G_pad - C)
+        ids_c = jax.lax.dynamic_slice(ids, (start, 0), (C, W))
+        cnt_c = jax.lax.dynamic_slice(counts, (start, 0), (C, W)).astype(
+            jnp.float32
+        )
+        bucket = jax.lax.shift_right_logical(ids_c, shift)  # [C, W]
+        hi = jax.lax.shift_right_logical(bucket, 7)
+        lane = jnp.bitwise_and(bucket, _LANES - 1)
+        A = (
+            (hi[:, None, :] == hi_iota[None, :, None]).astype(jnp.float32)
+            * cnt_c[:, None, :]
+        )  # [C, H, W]
+        Bm = (lane[:, :, None] == lane_iota[None, None, :]).astype(
+            jnp.float32
+        )  # [C, W, L]
+        part = jax.lax.dot_general(
+            A,
+            Bm,
+            (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [C, H, L]
+        return jax.lax.dynamic_update_slice(
+            out, part.reshape(C, n_buckets), (start, 0)
+        )
+
+    out0 = jnp.zeros((G_pad, n_buckets), jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, body, out0)
 
 
 def host_histogram(ids, counts, n_buckets: int, shift: int):

@@ -106,17 +106,13 @@ def test_signature_bound_holds():
         assert bound[r, c] >= p
 
 
-def test_pallas_histogram_interpret_matches_host():
-    from jax.experimental.pallas import tpu as pltpu
-
+def test_device_histogram_matches_host():
     from pandelos_tpu.ops.pallas_hist import (
         BUCKET_CHUNK,
-        _make_hist_kernel,
+        device_histogram,
         host_histogram,
     )
-    import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
 
     rng = np.random.default_rng(2)
     G_pad, W, n_buckets, shift = 16, 128, BUCKET_CHUNK, 2
@@ -125,27 +121,34 @@ def test_pallas_histogram_interpret_matches_host():
         rng.integers(0, vocab, size=(G_pad, W)).astype(np.int32), axis=1
     )
     counts = rng.integers(1, 5, size=(G_pad, W)).astype(np.int32)
-    # sentinel-pad some tails
+    # sentinel-pad some tails (must contribute nothing)
     for g in range(G_pad):
         n = rng.integers(0, W)
         ids[g, n:] = vocab + 7
         counts[g, n:] = 0
 
-    kernel = _make_hist_kernel(shift, W)
-    from pandelos_tpu.ops.pallas_hist import GENE_BLOCK
+    out = device_histogram(
+        jnp.asarray(ids), jnp.asarray(counts), n_buckets=n_buckets, shift=shift
+    )
+    want = host_histogram(ids, counts, n_buckets, shift)
+    np.testing.assert_array_equal(np.asarray(out), want)
 
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((G_pad, n_buckets), jnp.float32),
-        grid=(G_pad // GENE_BLOCK, n_buckets // BUCKET_CHUNK),
-        in_specs=[
-            pl.BlockSpec((GENE_BLOCK, W), lambda i, j: (i, 0)),
-            pl.BlockSpec((GENE_BLOCK, W), lambda i, j: (i, 0)),
-        ],
-        out_specs=pl.BlockSpec((GENE_BLOCK, BUCKET_CHUNK), lambda i, j: (i, j)),
-        scratch_shapes=[pltpu.VMEM((GENE_BLOCK, BUCKET_CHUNK), jnp.float32)],
-        interpret=True,
-    )(jnp.asarray(ids), jnp.asarray(counts))
+
+def test_device_histogram_large_counts_exact():
+    """Integer exactness of the MXU contraction with counts > bf16 range."""
+    from pandelos_tpu.ops.pallas_hist import device_histogram, host_histogram
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    G_pad, W, n_buckets, shift = 8, 256, 4096, 3
+    vocab = n_buckets << shift
+    ids = np.sort(
+        rng.integers(0, vocab, size=(G_pad, W)).astype(np.int32), axis=1
+    )
+    counts = rng.integers(1, 60000, size=(G_pad, W)).astype(np.int32)
+    out = device_histogram(
+        jnp.asarray(ids), jnp.asarray(counts), n_buckets=n_buckets, shift=shift
+    )
     want = host_histogram(ids, counts, n_buckets, shift)
     np.testing.assert_array_equal(np.asarray(out), want)
 

@@ -63,15 +63,6 @@ def _bf16_round_up(x: np.ndarray) -> np.ndarray:
     return bumped.view(np.float32).copy()
 
 
-def _bf16_round_up_jnp(x):
-    """Device-side bf16 round-up (f32 in, f32 holding bf16 values out)."""
-    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    trunc = bits & jnp.uint32(0xFFFF0000)
-    lost = (bits & jnp.uint32(0x0000FFFF)) != 0
-    bumped = trunc + jnp.where(lost, jnp.uint32(0x00010000), jnp.uint32(0))
-    return jax.lax.bitcast_convert_type(bumped, jnp.float32)
-
-
 def build_signatures(
     index: KmerIndex,
     padded,
@@ -101,9 +92,9 @@ def build_signatures(
     if use_device:
         mass = device_histogram(
             jnp.asarray(padded.ids), jnp.asarray(padded.counts),
-            n_buckets=n_buckets, shift=shift,
+            n_buckets=n_buckets, shift=shift, round_up_bf16=True,
         )
-        return _bf16_round_up_jnp(mass).astype(jnp.bfloat16), n_buckets, shift
+        return mass, n_buckets, shift
     mass = host_histogram(padded.ids, padded.counts, n_buckets, shift)
     return (
         jnp.asarray(_bf16_round_up(mass)).astype(jnp.bfloat16),

@@ -37,9 +37,28 @@ BUCKET_CHUNK = 4096  # n_buckets granularity (pick_buckets pads to this)
 _LANES = 128
 
 
-@functools.partial(jax.jit, static_argnames=("n_buckets", "shift"))
-def device_histogram(ids, counts, n_buckets: int, shift: int):
-    """[G_pad, W] sorted profiles -> [G_pad, n_buckets] f32 bucket masses.
+def _bf16_round_up_f32(x):
+    """f32 -> nearest bf16 value >= x (as bf16); preserves upper-bound
+    semantics of the signature masses."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    trunc = bits & jnp.uint32(0xFFFF0000)
+    lost = (bits & jnp.uint32(0x0000FFFF)) != 0
+    bumped = trunc + jnp.where(lost, jnp.uint32(0x00010000), jnp.uint32(0))
+    return jax.lax.bitcast_convert_type(bumped, jnp.float32).astype(
+        jnp.bfloat16
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_buckets", "shift", "round_up_bf16")
+)
+def device_histogram(
+    ids, counts, n_buckets: int, shift: int, round_up_bf16: bool = False
+):
+    """[G_pad, W] sorted profiles -> [G_pad, n_buckets] bucket masses
+    (f32, or bf16 rounded UP when ``round_up_bf16`` — fused per chunk so
+    the full-size f32 result is never materialized; at Mycoplasma-64
+    scale that is a 3.2GB HBM saving).
 
     Padding entries must use a sentinel id with ``sentinel >> shift >=
     n_buckets`` (their hi-level one-hot row is all zero, so they never
@@ -78,11 +97,14 @@ def device_histogram(ids, counts, n_buckets: int, shift: int):
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # [C, H, L]
-        return jax.lax.dynamic_update_slice(
-            out, part.reshape(C, n_buckets), (start, 0)
-        )
+        part = part.reshape(C, n_buckets)
+        if round_up_bf16:
+            part = _bf16_round_up_f32(part)
+        return jax.lax.dynamic_update_slice(out, part, (start, 0))
 
-    out0 = jnp.zeros((G_pad, n_buckets), jnp.float32)
+    out0 = jnp.zeros(
+        (G_pad, n_buckets), jnp.bfloat16 if round_up_bf16 else jnp.float32
+    )
     return jax.lax.fori_loop(0, n_chunks, body, out0)
 
 

@@ -83,11 +83,13 @@ def pad_profiles(index: KmerIndex, row_block: int, col_block: int) -> PaddedProf
     widths = np.diff(ptr)
     if G > 0 and widths.max(initial=0) > W:
         raise AssertionError("profile wider than padding width")
-    for i in range(G):
-        s, e = ptr[i], ptr[i + 1]
-        n = int(e - s)
-        ids[i, :n] = index.profile_ids[s:e]
-        counts[i, :n] = index.profile_counts[s:e]
+    if G > 0 and index.profile_ids.size:
+        rowi = np.repeat(np.arange(G, dtype=np.int64), widths)
+        pos = np.arange(index.profile_ids.size, dtype=np.int64) - np.repeat(
+            ptr[:-1], widths
+        )
+        ids[rowi, pos] = index.profile_ids
+        counts[rowi, pos] = index.profile_counts
     return PaddedProfiles(ids, counts, G, index.vocab_size, W)
 
 

@@ -75,45 +75,54 @@ def main():
         f"bytes={sig.size * 2 / 1e9:.2f}GB",
         flush=True,
     )
+    t0 = time.monotonic()
+    sig2, _, _ = build_signatures(index, padded, cfg)
+    jax.block_until_ready(sig2)
+    print(f"signatures warm: {time.monotonic()-t0:.2f}s", flush=True)
+    del sig, sig2, padded  # each stage below re-creates its own copies
 
     # warm-up + timed full cells pass
-    from pandelos_tpu.ops.candidate import compute_cells_candidate
+    if os.environ.get("PT_SKIP_CELLS", "0") != "1":
+        from pandelos_tpu.ops.candidate import compute_cells_candidate
 
-    t0 = time.monotonic()
-    cells = compute_cells_candidate(index, cfg)
-    print(
-        f"cells cold (incl compile): {time.monotonic()-t0:.1f}s "
-        f"n={len(cells.row)}",
-        flush=True,
-    )
-    for trial in range(2):
         t0 = time.monotonic()
         cells = compute_cells_candidate(index, cfg)
-        dt = time.monotonic() - t0
-        lookups = int(index.computation_costs.sum())
         print(
-            f"cells warm[{trial}]: {dt:.2f}s -> "
-            f"{lookups/dt/1e6:.1f}M lookups/s "
-            f"(ref 40.5M/s, x{lookups/dt/40505500:.2f})",
+            f"cells cold (incl compile): {time.monotonic()-t0:.1f}s "
+            f"n={len(cells.row)}",
             flush=True,
         )
+        for trial in range(2):
+            t0 = time.monotonic()
+            cells = compute_cells_candidate(index, cfg)
+            dt = time.monotonic() - t0
+            lookups = int(index.computation_costs.sum())
+            print(
+                f"cells warm[{trial}]: {dt:.2f}s -> "
+                f"{lookups/dt/1e6:.1f}M lookups/s "
+                f"(ref 40.5M/s, x{lookups/dt/40505500:.2f})",
+                flush=True,
+            )
+
+        del cells
 
     # device BBH end-to-end
-    from pandelos_tpu.ops.net_device import compute_network_device
+    if os.environ.get("PT_SKIP_NET", "0") != "1":
+        from pandelos_tpu.ops.net_device import compute_network_device
 
-    t0 = time.monotonic()
-    out = compute_network_device(index, cfg)
-    print(f"net_device cold: {time.monotonic()-t0:.1f}s", flush=True)
-    if out is not None:
         t0 = time.monotonic()
         out = compute_network_device(index, cfg)
-        dt = time.monotonic() - t0
-        lookups = int(index.computation_costs.sum())
-        print(
-            f"net_device warm: {dt:.2f}s edges={len(out[0])} -> "
-            f"{lookups/dt/1e6:.1f}M lookups/s (x{lookups/dt/40505500:.2f})",
-            flush=True,
-        )
+        print(f"net_device cold: {time.monotonic()-t0:.1f}s", flush=True)
+        if out is not None:
+            t0 = time.monotonic()
+            out = compute_network_device(index, cfg)
+            dt = time.monotonic() - t0
+            lookups = int(index.computation_costs.sum())
+            print(
+                f"net_device warm: {dt:.2f}s edges={len(out[0])} -> "
+                f"{lookups/dt/1e6:.1f}M lookups/s (x{lookups/dt/40505500:.2f})",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

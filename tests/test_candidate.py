@@ -133,6 +133,16 @@ def test_device_histogram_matches_host():
     want = host_histogram(ids, counts, n_buckets, shift)
     np.testing.assert_array_equal(np.asarray(out), want)
 
+    # fused bf16 round-up path: an upper bound, exact where representable
+    up = np.asarray(
+        device_histogram(
+            jnp.asarray(ids), jnp.asarray(counts),
+            n_buckets=n_buckets, shift=shift, round_up_bf16=True,
+        ).astype(jnp.float32)
+    )
+    assert (up >= want).all()
+    np.testing.assert_array_equal(up, _bf16_round_up(want))
+
 
 def test_device_histogram_large_counts_exact():
     """Integer exactness of the MXU contraction with counts > bf16 range."""

@@ -105,13 +105,16 @@ def build_signatures(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("row_block", "w_row", "cand_cap", "n_true", "k2"),
+    static_argnames=(
+        "row_block", "w_row", "cand_cap", "n_true", "k2", "do_join"
+    ),
 )
 def _candidate_blocks(
     all_ids,  # int32 [G_pad, W]
     all_counts,  # int32 [G_pad, W]
     sig_mass,  # f32 (bf16 values) [G_pad, B]
     col_lens,  # f32 [G_pad]
+    prof_width,  # int32 [G_pad] true profile widths (0 for padding rows)
     perm_pad,  # int32 [>= n_blocks * row_block] width-sorted gene order
     starts,  # int32 [n_blocks]
     row_block: int,
@@ -119,6 +122,7 @@ def _candidate_blocks(
     cand_cap: int,
     n_true: int,
     k2: int,
+    do_join: bool = True,
 ):
     """One width bucket's scoring pass: lax.scan over row blocks.
 
@@ -179,8 +183,15 @@ def _candidate_blocks(
         a_ids = all_ids[idxs, :w_row]  # [R, w_row]
         a_cnt = all_counts[idxs, :w_row].astype(jnp.float32)
 
-        w_chunk = min(128, w_row)
-        n_chunks = w_row // w_chunk
+        a_chunk = min(128, w_row)
+        # NOTE: both loop bounds must stay STATIC.  Measured on v5e:
+        # chunking the b-axis to 128 regressed ~2x (the [R, ac]
+        # sublane->lane splat of a_i is amortized over the full-W lane
+        # axis; narrow b-chunks re-pay it per chunk), and making this
+        # bound dynamic (true block max width) regressed ~1.7x — XLA
+        # stops unrolling the chunk loop.  The width bucketing already
+        # keeps w_row close to the true widths.
+        na = w_row // a_chunk
 
         def k_step(kk, carry):
             inter_o, perc_o, tr_o = carry
@@ -193,12 +204,12 @@ def _candidate_blocks(
             def chunk_step(ci, acc):
                 inter_k, perc_k, match_b = acc
                 a_i = jax.lax.dynamic_slice(
-                    a_ids, (0, ci * w_chunk), (R, w_chunk)
+                    a_ids, (0, ci * a_chunk), (R, a_chunk)
                 )
                 a_c = jax.lax.dynamic_slice(
-                    a_cnt, (0, ci * w_chunk), (R, w_chunk)
+                    a_cnt, (0, ci * a_chunk), (R, a_chunk)
                 )
-                eq = a_i[:, :, None] == b_ids[:, None, :]  # [R, wc, W]
+                eq = a_i[:, :, None] == b_ids[:, None, :]  # [R, ac, W]
                 minab = jnp.minimum(a_c[:, :, None], b_cnt[:, None, :])
                 inter_k = inter_k + jnp.sum(
                     jnp.where(eq, minab, 0.0), axis=(1, 2)
@@ -211,7 +222,7 @@ def _candidate_blocks(
 
             inter_k, perc_k, match_b = jax.lax.fori_loop(
                 0,
-                n_chunks,
+                na,
                 chunk_step,
                 (
                     jnp.zeros((R,), jnp.float32),
@@ -226,11 +237,16 @@ def _candidate_blocks(
             return ins(inter_o, inter_k), ins(perc_o, perc_k), ins(tr_o, tr_k)
 
         zeros = jnp.zeros((R, K), dtype=jnp.float32)
-        # only walk candidate slots that exist somewhere in this block
-        k_used = jnp.minimum(jnp.max(counts), K)
-        inter, perc, tr = jax.lax.fori_loop(
-            0, k_used, k_step, (zeros, zeros, zeros)
-        )
+        if do_join:
+            # only walk candidate slots that exist somewhere in this block
+            k_used = jnp.minimum(jnp.max(counts), K)
+            inter, perc, tr = jax.lax.fori_loop(
+                0, k_used, k_step, (zeros, zeros, zeros)
+            )
+        else:
+            # extraction-only mode: the exact join runs elsewhere (the
+            # Pallas compare-and-rotate kernel, ops/pallas_join.py)
+            inter = perc = tr = zeros
 
         # --- validity (exact integer form of the 1/(2k) threshold)
         cand_lens = col_lens[jnp.minimum(cand, G_pad - 1)]
@@ -318,6 +334,8 @@ class BlockRunner:
         self.G = index.n_sequences
         lens_pad = np.zeros(G_pad, dtype=np.float32)
         lens_pad[: self.G] = index.kseq_lengths
+        width_pad = np.zeros(G_pad, dtype=np.int32)
+        width_pad[: self.G] = np.diff(index.profile_ptr)
         if len(devices) <= 1:
             self.reps = [
                 (
@@ -325,6 +343,7 @@ class BlockRunner:
                     jnp.asarray(padded.counts),
                     sig_mass,
                     jnp.asarray(lens_pad),
+                    jnp.asarray(width_pad),
                 )
             ]
         else:
@@ -334,11 +353,13 @@ class BlockRunner:
                     jax.device_put(padded.counts, d),
                     jax.device_put(sig_mass, d),
                     jax.device_put(lens_pad, d),
+                    jax.device_put(width_pad, d),
                 )
                 for d in devices
             ]
 
-    def run(self, perm_ext, starts, row_block, w_row, cand_cap):
+    def run(self, perm_ext, starts, row_block, w_row, cand_cap,
+            do_join=True):
         """Run a bucket's starts across devices.  Returns numpy outputs
         (grow, cand, inter, perc, tr, valid, counts) flattened over
         blocks*rows in starts order (padded blocks emit inert rows)."""
@@ -355,7 +376,7 @@ class BlockRunner:
                 [chunk, np.full(n2 - len(chunk), len(perm_ext) - row_block,
                                 dtype=np.int32)]
             )
-            all_ids, all_counts, sig, col_lens = rep
+            all_ids, all_counts, sig, col_lens, width_pad = rep
             perm_dev = (
                 jax.device_put(perm_ext, self.devices[di])
                 if n_dev > 1
@@ -371,6 +392,7 @@ class BlockRunner:
                 all_counts,
                 sig,
                 col_lens,
+                width_pad,
                 perm_dev,
                 starts_dev,
                 row_block=row_block,
@@ -378,6 +400,7 @@ class BlockRunner:
                 cand_cap=cand_cap,
                 n_true=self.G,
                 k2=2 * self.index.k,
+                do_join=do_join,
             )
             pending.append((outs, len(chunk)))
         collected = []
@@ -392,6 +415,10 @@ def compute_cells_candidate(
 ) -> ScoreCells:
     """Full-dataset VALID cells via the candidate engine.
 
+    The exact stage runs either as the in-scan XLA equality join or,
+    with ``config.backend == "pallas"``, as the compare-and-rotate
+    Pallas kernel (ops/pallas_join.py) over all extracted candidates.
+
     Note: unlike the oracle, only cells passing the validity threshold
     are returned (plus any cell the bound could not exclude) — invalid
     cells never influence the network (finalize_scores drops them)."""
@@ -404,6 +431,7 @@ def compute_cells_candidate(
         z64 = np.zeros(0, dtype=np.int64)
         return ScoreCells(z32, z32, z64, z64, z64)
 
+    use_pallas = config.backend == "pallas"
     row_block = min(config.row_block, _round_up(G, 8))
     col_block = min(config.col_block, _round_up(G, 128))
     padded = pad_profiles(index, row_block, col_block)
@@ -417,6 +445,7 @@ def compute_cells_candidate(
 
     r_out, c_out, i_out, p_out, t_out = [], [], [], [], []
     overflow_rows = []
+    pallas_parts = []  # (grow, cand, counts) per bucket when use_pallas
 
     for w_row, perm_pad, starts in _width_buckets(
         widths, row_block, padded.width
@@ -425,7 +454,7 @@ def compute_cells_candidate(
             [perm_pad, np.full(row_block, G, dtype=np.int32)]
         )
         grow, cand, inter, perc, tr, valid, counts = runner.run(
-            perm_ext, starts, row_block, w_row, K
+            perm_ext, starts, row_block, w_row, K, do_join=not use_pallas
         )
         grow = grow.reshape(-1)  # [n_blocks * R]
         counts = counts.reshape(-1)
@@ -439,10 +468,68 @@ def compute_cells_candidate(
         overflow_rows.extend(zip(grow[over].tolist(), counts[over].tolist()))
         ok = ~over
 
+        if use_pallas:
+            pallas_parts.append((grow, cand, np.where(ok, counts, 0)))
+            continue
+
         vmask = valid & ok[:, None]
         rr = np.broadcast_to(grow[:, None], cand.shape)[vmask]
         r_out.append(rr.astype(np.int32))
         c_out.append(cand[vmask].astype(np.int32))
+        i_out.append(inter[vmask].astype(np.int64))
+        p_out.append(perc[vmask].astype(np.int64))
+        t_out.append(tr[vmask].astype(np.int64))
+
+    if use_pallas and pallas_parts:
+        import jax
+
+        from pandelos_tpu.ops.pallas_join import pair_join_counters
+
+        grow_all = np.concatenate([p[0] for p in pallas_parts])
+        cand_all = np.concatenate([p[1] for p in pallas_parts])
+        cnt_all = np.concatenate([p[2] for p in pallas_parts])
+        # clip counts to the cap: overflow rows were zeroed above and
+        # rerun through the overflow path below
+        cnt_all = np.minimum(cnt_all, K).astype(np.int32)
+        grow_all = np.minimum(grow_all, G).astype(np.int32)
+
+        all_ids_d, all_counts_d, _, _, width_d = runner.reps[0]
+        all_pair = jnp.concatenate([all_ids_d, all_counts_d], axis=1)
+        inter_d, perc_d, tr_d = pair_join_counters(
+            all_pair,
+            jnp.asarray(grow_all),
+            jnp.asarray(np.ascontiguousarray(cand_all, dtype=np.int32)),
+            jnp.asarray(cnt_all),
+            width_d.astype(jnp.int32),
+            k_cap=K,
+            w_pad=padded.width,
+            interpret=jax.default_backend() == "cpu",
+        )
+        inter = np.asarray(inter_d)
+        perc = np.asarray(perc_d)
+        tr = np.asarray(tr_d)
+
+        # validity (exact integer form of the 1/(2k) threshold), in f32
+        # like the device path — all quantities are integers < 2^24
+        lens_pad = np.zeros(G_pad + 1, dtype=np.float32)
+        lens_pad[:G] = index.kseq_lengths
+        k2 = np.float32(2 * index.k)
+        row_lens = lens_pad[grow_all]
+        cand_lens = lens_pad[np.minimum(cand_all, G_pad)]
+        have = (
+            np.arange(K, dtype=np.int32)[None, :] < cnt_all[:, None]
+        )
+        vmask = (
+            (inter > 0)
+            & have
+            & (
+                (k2 * perc >= row_lens[:, None])
+                | (k2 * tr >= cand_lens)
+            )
+        )
+        rr = np.broadcast_to(grow_all[:, None], cand_all.shape)[vmask]
+        r_out.append(rr.astype(np.int32))
+        c_out.append(cand_all[vmask].astype(np.int32))
         i_out.append(inter[vmask].astype(np.int64))
         p_out.append(perc[vmask].astype(np.int64))
         t_out.append(tr[vmask].astype(np.int64))

@@ -190,6 +190,9 @@ def compute_network_device(
     genome_pad[:G] = index.seq_genome
 
     widths = np.diff(index.profile_ptr)
+    width_pad = np.zeros(G_pad, dtype=np.int32)
+    width_pad[:G] = widths
+    prof_width = jnp.asarray(width_pad)
 
     grow_parts, cand_parts, inter_parts, valid_parts = [], [], [], []
     counts_parts = []
@@ -213,6 +216,7 @@ def compute_network_device(
             all_counts,
             sig_mass,
             col_lens,
+            prof_width,
             jnp.asarray(perm_ext),
             jnp.asarray(starts_ext),
             row_block=row_block,
@@ -265,6 +269,7 @@ def compute_network_device(
             all_counts,
             sig_mass,
             col_lens,
+            prof_width,
             jnp.asarray(perm2),
             jnp.asarray(starts2),
             row_block=row_block,

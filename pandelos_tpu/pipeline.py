@@ -170,12 +170,25 @@ def run_pipeline(
     if out_prefix and config.write_clus:
         write_clus(out_prefix + ".clus", lines)
 
+    # degree distribution of the similarity network (the reference prints
+    # it after network construction, Pangenes.java:202-219)
+    n_e = len(net.edges)
+    ea = np.fromiter((e[0] for e in net.edges), np.int64, n_e)
+    eb = np.fromiter((e[1] for e in net.edges), np.int64, n_e)
+    deg = np.bincount(ea, minlength=ds.n_sequences)
+    deg += np.bincount(eb[eb != ea], minlength=ds.n_sequences)
+    deg_vals, deg_cnts = np.unique(deg, return_counts=True)
+    degree_distr = {
+        str(int(v)): int(c) for v, c in zip(deg_vals, deg_cnts)
+    }
+
     stats = {
         "k": k,
         "n_sequences": ds.n_sequences,
         "n_genomes": ds.n_genomes,
         "vocab_size": index.vocab_size,
         "total_vocab": index.total_vocab,
+        "degree_distr": degree_distr,
         "complexity": index.complexity_report(),
         "network": net.stats,
         "n_families": len(clusters.families),

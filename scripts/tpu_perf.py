@@ -61,7 +61,8 @@ def main():
     from pandelos_tpu.ops.score import _round_up, _width_buckets, pad_profiles
 
     cfg = PipelineConfig(row_block=row_block, col_block=col_block,
-                         candidate_cap=K)
+                         candidate_cap=K,
+                         backend=os.environ.get("PT_BACKEND", "xla"))
 
     t0 = time.monotonic()
     padded = pad_profiles(index, row_block, col_block)

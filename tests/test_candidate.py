@@ -35,11 +35,13 @@ def test_bf16_round_up_is_upper_bound():
 
 
 @pytest.mark.parametrize("seed", [0, 1, 7])
-def test_candidate_matches_oracle(seed):
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_candidate_matches_oracle(seed, backend):
     rng = np.random.default_rng(seed)
     ds = _random_ds(rng, n_genomes=4, n_fams=9)
     idx = build_index(ds, k=3)
     cfg = PipelineConfig(
+        backend=backend,
         row_block=16, col_block=128, candidate_cap=64, signature_buckets=512
     )
     got = _valid_dict(compute_cells_candidate(idx, cfg), idx)

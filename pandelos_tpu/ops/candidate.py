@@ -483,7 +483,7 @@ def compute_cells_candidate(
     if use_pallas and pallas_parts:
         import jax
 
-        from pandelos_tpu.ops.pallas_join import pair_join_counters
+        from pandelos_tpu.ops.pallas_join import join_pairs
 
         grow_all = np.concatenate([p[0] for p in pallas_parts])
         cand_all = np.concatenate([p[1] for p in pallas_parts])
@@ -493,43 +493,36 @@ def compute_cells_candidate(
         cnt_all = np.minimum(cnt_all, K).astype(np.int32)
         grow_all = np.minimum(grow_all, G).astype(np.int32)
 
-        all_ids_d, all_counts_d, _, _, width_d = runner.reps[0]
+        # flat (i, j) pair list — no [rows, K] materialization
+        have = (
+            np.arange(K, dtype=np.int32)[None, :] < cnt_all[:, None]
+        )
+        rpos, spos = np.nonzero(have)
+        pi = grow_all[rpos]
+        pj = cand_all[rpos, spos]
+
+        all_ids_d, all_counts_d, _, _, _ = runner.reps[0]
         all_pair = jnp.concatenate([all_ids_d, all_counts_d], axis=1)
-        inter_d, perc_d, tr_d = pair_join_counters(
+        inter, perc, tr = join_pairs(
             all_pair,
-            jnp.asarray(grow_all),
-            jnp.asarray(np.ascontiguousarray(cand_all, dtype=np.int32)),
-            jnp.asarray(cnt_all),
-            width_d.astype(jnp.int32),
-            k_cap=K,
+            pi,
+            pj,
+            widths,
             w_pad=padded.width,
+            pad_gene=G,
             interpret=jax.default_backend() == "cpu",
         )
-        inter = np.asarray(inter_d)
-        perc = np.asarray(perc_d)
-        tr = np.asarray(tr_d)
 
         # validity (exact integer form of the 1/(2k) threshold), in f32
         # like the device path — all quantities are integers < 2^24
         lens_pad = np.zeros(G_pad + 1, dtype=np.float32)
         lens_pad[:G] = index.kseq_lengths
         k2 = np.float32(2 * index.k)
-        row_lens = lens_pad[grow_all]
-        cand_lens = lens_pad[np.minimum(cand_all, G_pad)]
-        have = (
-            np.arange(K, dtype=np.int32)[None, :] < cnt_all[:, None]
+        vmask = (inter > 0) & (
+            (k2 * perc >= lens_pad[pi]) | (k2 * tr >= lens_pad[pj])
         )
-        vmask = (
-            (inter > 0)
-            & have
-            & (
-                (k2 * perc >= row_lens[:, None])
-                | (k2 * tr >= cand_lens)
-            )
-        )
-        rr = np.broadcast_to(grow_all[:, None], cand_all.shape)[vmask]
-        r_out.append(rr.astype(np.int32))
-        c_out.append(cand_all[vmask].astype(np.int32))
+        r_out.append(pi[vmask].astype(np.int32))
+        c_out.append(pj[vmask].astype(np.int32))
         i_out.append(inter[vmask].astype(np.int64))
         p_out.append(perc[vmask].astype(np.int64))
         t_out.append(tr[vmask].astype(np.int64))

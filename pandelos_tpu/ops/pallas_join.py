@@ -12,24 +12,26 @@ by joining the two sorted (id, count) profiles.  The XLA formulation
 (broadcast equality ``a[:, :, None] == b[:, None, :]``) reaches only a
 few percent of VPU peak: every a-id must be splatted across the lane
 axis (a sublane->lane broadcast) before it can be compared.  This kernel
-instead batches 8 same-row candidates in sublanes and ROTATES the
-candidate tile across lanes: 128 rotation steps of clean [8, 128] vector
-ops (roll / compare / min / select-accumulate) cover every lane
-alignment with no splats.
+batches 8 pairs in sublanes and ROTATES the b-tile across lanes: 128
+rotation steps of clean [8, 128] vector ops (roll / compare / min /
+select-accumulate) cover every lane alignment with no splats.
 
-Structure per grid step (= one row, width-sorted perm order):
+Design (v2 — after a manual-DMA gather design fought Mosaic's tiling
+rules at every step):
 
-- the row's packed (ids || counts) profile arrives via an automatically
-  pipelined BlockSpec whose index map reads the row's gene id from a
-  scalar-prefetch array (the paged-attention pattern),
-- the row's candidate-gene-id vector is DMA'd HBM->SMEM two steps ahead
-  (3-slot ring), candidate profiles are DMA'd HBM->VMEM one step ahead
-  (double buffer, one DMA per candidate),
-- compute: for each octet of 8 candidate slots x each (a-tile, b-tile)
-  128-lane chunk pair, 128 compare-rotate steps accumulate the three
-  counters.  Padding rows/slots carry zero counts and contribute
-  nothing; loop bounds come from true profile widths so padded tiles
-  are skipped.
+- the candidate structure is symmetric (the signature bound, the self
+  mask and the validity test are all direction-symmetric), so each
+  unordered pair is computed ONCE in canonical (lo, hi) orientation and
+  mirrored on host (``perc(i,j) == tr(j,i)``) — half the join work;
+- pair profiles are EXPANDED on device with XLA row-gathers (fast on
+  TPU) in chunks, so the kernel reads perfectly aligned, automatically
+  pipelined (PAIR_BLOCK, 2W) VMEM blocks — no manual DMA, no scalar
+  prefetch;
+- join loop bounds are derived from the data inside the kernel (lane
+  position of the last nonzero count per octet), so padded tiles are
+  skipped without any width side-tables;
+- per-octet totals are lane-reduced via a tile transpose and placed at
+  static lane offsets (partial-lane dynamic stores do not lower).
 
 Counters are exact: counts are integers < 2^24 accumulated in f32.
 """
@@ -47,255 +49,244 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 _OCT = 8
+_PAIR_BLOCK = 128  # pairs per grid step
+_CHUNK = 1 << 16  # pairs per gather chunk (2 x ~512MB expanded at W=1024)
 
 
-def _join_kernel(
-    # scalar prefetch
-    perm_ref,  # SMEM [R_tot] gene id per row
-    cnt_ref,  # SMEM [R_tot] candidate count per row
-    width_ref,  # SMEM [G_pad] true profile width per gene
-    # inputs
-    a_ref,  # VMEM (1, 2W) pipelined row profile (ids || counts)
-    pair_hbm,  # ANY  [G_pad, 2W] packed profiles (manual DMA source)
-    cand_hbm,  # ANY  [R_tot, K] candidate gene ids (manual DMA source)
-    # outputs (transposed: lane dim = rows, sublane dim = slots)
-    inter_ref,  # VMEM (K, 1)
-    perc_ref,  # VMEM (K, 1)
-    tr_ref,  # VMEM (K, 1)
-    # scratch
-    candvec,  # SMEM (3, K)
-    b_buf,  # VMEM (2 * K, 2W)
-    cand_sem,  # DMA sems (3,)
-    b_sem,  # DMA sems (2, K)
-    *,
-    k_cap: int,
-    w_pad: int,
-    n_rows: int,
-):
-    r = pl.program_id(0)
+def _make_kernel(w_pad: int):
     W = w_pad
-    K = k_cap
+    n_oct = _PAIR_BLOCK // _OCT
 
-    def start_candvec(row, slot):
-        pltpu.make_async_copy(
-            cand_hbm.at[pl.ds(row, 1), :],
-            candvec.at[pl.ds(slot, 1), :],
-            cand_sem.at[slot],
-        ).start()
+    def kernel(a_blk, b_blk, inter_ref, perc_ref, tr_ref):
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_OCT, W), 1)
 
-    def start_b_rows(row, buf):
-        # candidate vector for `row` must have landed in candvec[row % 3]
-        cslot = jax.lax.rem(row, 3)
-        n = cnt_ref[row]
+        inter_row = jnp.zeros((1, _PAIR_BLOCK), jnp.float32)
+        perc_row = jnp.zeros((1, _PAIR_BLOCK), jnp.float32)
+        tr_row = jnp.zeros((1, _PAIR_BLOCK), jnp.float32)
 
-        def issue(s, _):
-            gene = candvec[cslot, s]
-            pltpu.make_async_copy(
-                pair_hbm.at[pl.ds(gene, 1), :],
-                b_buf.at[pl.ds(buf * K + s, 1), :],
-                b_sem.at[buf, s],
-            ).start()
-            return 0
+        for o in range(n_oct):
+            sl = slice(o * _OCT, (o + 1) * _OCT)
+            a_cnt_full = a_blk[sl, W:].astype(jnp.float32)  # [8, W]
+            b_cnt_full = b_blk[sl, W:].astype(jnp.float32)
 
-        jax.lax.fori_loop(0, n, issue, 0, unroll=False)
+            # join bounds from the data: last nonzero-count position
+            wa = jnp.max(jnp.where(a_cnt_full > 0, lane_iota, -1)) + 1
+            wb = jnp.max(jnp.where(b_cnt_full > 0, lane_iota, -1)) + 1
+            na = pl.cdiv(wa, _LANE)
+            nb = pl.cdiv(wb, _LANE)
 
-    # --- pipeline warm-up (first step only)
-    @pl.when(r == 0)
-    def _():
-        start_candvec(0, 0)
-        pltpu.make_async_copy(
-            cand_hbm.at[pl.ds(0, 1), :], candvec.at[pl.ds(0, 1), :],
-            cand_sem.at[0],
-        ).wait()
-        start_b_rows(0, 0)
-        if n_rows > 1:
-            start_candvec(1, 1)
+            acc0 = jnp.zeros((_OCT, _LANE), jnp.float32)
 
-    # --- steady state: fetch row r+1's candidate profiles, row r+2's
-    # candidate vector
-    @pl.when(r + 1 < n_rows)
-    def _():
-        nxt = r + 1
-        pltpu.make_async_copy(
-            cand_hbm.at[pl.ds(nxt, 1), :],
-            candvec.at[pl.ds(jax.lax.rem(nxt, 3), 1), :],
-            cand_sem.at[jax.lax.rem(nxt, 3)],
-        ).wait()
-        start_b_rows(nxt, jax.lax.rem(nxt, 2))
-
-        @pl.when(r + 2 < n_rows)
-        def _():
-            start_candvec(r + 2, jax.lax.rem(r + 2, 3))
-
-    # --- compute row r from b_buf[r % 2]
-    buf = jax.lax.rem(r, 2)
-    cslot = jax.lax.rem(r, 3)
-    n = cnt_ref[r]
-    wa = width_ref[perm_ref[r]]
-    na = pl.cdiv(wa, _LANE)
-
-    inter_ref[...] = jnp.zeros_like(inter_ref)
-    perc_ref[...] = jnp.zeros_like(perc_ref)
-    tr_ref[...] = jnp.zeros_like(tr_ref)
-
-    n_oct = pl.cdiv(n, _OCT)
-
-    def octet_body(o, _):
-        # wait for this octet's profile DMAs (no-ops once landed)
-        def wait_one(s, _):
-            pltpu.make_async_copy(
-                pair_hbm.at[pl.ds(0, 1), :],
-                b_buf.at[pl.ds(0, 1), :],
-                b_sem.at[buf, o * _OCT + s],
-            ).wait()
-            return 0
-
-        jax.lax.fori_loop(
-            0, jnp.minimum(n - o * _OCT, _OCT), wait_one, 0, unroll=False
-        )
-
-        # widest candidate in the octet bounds the b-tile loop
-        def wmax(s, m):
-            s_abs = o * _OCT + s
-            gene = candvec[cslot, s_abs]
-            valid = s_abs < n
-            return jnp.maximum(m, jnp.where(valid, width_ref[gene], 0))
-
-        wb = jax.lax.fori_loop(0, _OCT, wmax, jnp.int32(0), unroll=True)
-        nb = pl.cdiv(wb, _LANE)
-
-        base = buf * K + o * _OCT
-
-        inter_acc0 = jnp.zeros((_OCT, _LANE), jnp.float32)
-
-        def b_tile_body(bi, accs):
-            b_ids = b_buf[pl.ds(base, _OCT), pl.ds(bi * _LANE, _LANE)]
-            b_cnt = b_buf[
-                pl.ds(base, _OCT), pl.ds(W + bi * _LANE, _LANE)
-            ].astype(jnp.float32)
-
-            def a_tile_body(ai, accs):
-                inter_a, perc_a, tr_a = accs
-                a_ids = jnp.broadcast_to(
-                    a_ref[pl.ds(0, 1), pl.ds(ai * _LANE, _LANE)],
-                    (_OCT, _LANE),
+            def b_tile_body(bi, accs, sl=sl):
+                b_ids = b_blk[sl, pl.ds(bi * _LANE, _LANE)]
+                b_cnt = b_blk[sl, pl.ds(W + bi * _LANE, _LANE)].astype(
+                    jnp.float32
                 )
-                a_cnt = jnp.broadcast_to(
-                    a_ref[pl.ds(0, 1), pl.ds(W + ai * _LANE, _LANE)],
-                    (_OCT, _LANE),
-                ).astype(jnp.float32)
 
-                def rot_body(s, st):
-                    inter_a, perc_a, tr_a, rb_ids, rb_cnt = st
-                    eq = a_ids == rb_ids
-                    inter_a = inter_a + jnp.where(
-                        eq, jnp.minimum(a_cnt, rb_cnt), 0.0
+                def a_tile_body(ai, accs):
+                    inter_a, perc_a, tr_a = accs
+                    a_ids = a_blk[sl, pl.ds(ai * _LANE, _LANE)]
+                    a_cnt = a_blk[
+                        sl, pl.ds(W + ai * _LANE, _LANE)
+                    ].astype(jnp.float32)
+
+                    # static independent rolls from the base tile with a
+                    # 4-way interleaved accumulator per counter.  An
+                    # incremental roll-by-1 chain (roll(prev, 1)) is
+                    # latency-bound: 128 serial cross-lane ops measured
+                    # 7.4x slower than this form.
+                    n_acc = 4
+                    i_acc = [inter_a] + [
+                        jnp.zeros_like(inter_a) for _ in range(n_acc - 1)
+                    ]
+                    p_acc = [perc_a] + [
+                        jnp.zeros_like(perc_a) for _ in range(n_acc - 1)
+                    ]
+                    t_acc = [tr_a] + [
+                        jnp.zeros_like(tr_a) for _ in range(n_acc - 1)
+                    ]
+                    for s in range(_LANE):
+                        rb_ids = pltpu.roll(b_ids, s, 1)
+                        rb_cnt = pltpu.roll(b_cnt, s, 1)
+                        eq = a_ids == rb_ids
+                        w = s % n_acc
+                        i_acc[w] = i_acc[w] + jnp.where(
+                            eq, jnp.minimum(a_cnt, rb_cnt), 0.0
+                        )
+                        p_acc[w] = p_acc[w] + jnp.where(eq, a_cnt, 0.0)
+                        t_acc[w] = t_acc[w] + jnp.where(eq, rb_cnt, 0.0)
+                    return (
+                        sum(i_acc[1:], i_acc[0]),
+                        sum(p_acc[1:], p_acc[0]),
+                        sum(t_acc[1:], t_acc[0]),
                     )
-                    perc_a = perc_a + jnp.where(eq, a_cnt, 0.0)
-                    tr_a = tr_a + jnp.where(eq, rb_cnt, 0.0)
-                    rb_ids = pltpu.roll(rb_ids, 1, 1)
-                    rb_cnt = pltpu.roll(rb_cnt, 1, 1)
-                    return inter_a, perc_a, tr_a, rb_ids, rb_cnt
 
-                inter_a, perc_a, tr_a, _, _ = jax.lax.fori_loop(
-                    0,
-                    _LANE,
-                    rot_body,
-                    (inter_a, perc_a, tr_a, b_ids, b_cnt),
-                    unroll=False,
+                return jax.lax.fori_loop(
+                    0, na, a_tile_body, accs, unroll=False
                 )
-                return inter_a, perc_a, tr_a
 
-            return jax.lax.fori_loop(
-                0, na, a_tile_body, accs, unroll=False
+            inter_acc, perc_acc, tr_acc = jax.lax.fori_loop(
+                0, nb, b_tile_body, (acc0, acc0, acc0), unroll=False
             )
 
-        inter_acc, perc_acc, tr_acc = jax.lax.fori_loop(
-            0,
-            nb,
-            b_tile_body,
-            (inter_acc0, inter_acc0, inter_acc0),
-            unroll=False,
-        )
+            # transpose [8, 128] -> [128, 8]; reduce positions (now
+            # sublanes) to a [1, 8] lane vector; place at this octet's
+            # static lane offset
+            def place(acc, row_acc, o=o):
+                sums = jnp.sum(
+                    jnp.swapaxes(acc, 0, 1), axis=0, keepdims=True
+                )  # [1, 8]
+                wide = jnp.concatenate(
+                    [
+                        sums,
+                        jnp.zeros((1, _PAIR_BLOCK - _OCT), jnp.float32),
+                    ],
+                    axis=1,
+                )
+                return row_acc + pltpu.roll(wide, o * _OCT, 1)
 
-        # per-slot totals: lane-reduce [8, 128] -> [8, 1], store to the
-        # transposed outputs' sublane range for this octet.  Slots past
-        # the row's candidate count hold stale b_buf data — mask them.
-        slot_ok = (
-            jax.lax.broadcasted_iota(jnp.int32, (_OCT, 1), 0) + o * _OCT
-            < n
-        )
-        inter_ref[pl.ds(o * _OCT, _OCT), :] = jnp.where(
-            slot_ok, jnp.sum(inter_acc, axis=1, keepdims=True), 0.0
-        )
-        perc_ref[pl.ds(o * _OCT, _OCT), :] = jnp.where(
-            slot_ok, jnp.sum(perc_acc, axis=1, keepdims=True), 0.0
-        )
-        tr_ref[pl.ds(o * _OCT, _OCT), :] = jnp.where(
-            slot_ok, jnp.sum(tr_acc, axis=1, keepdims=True), 0.0
-        )
-        return 0
+            inter_row = place(inter_acc, inter_row)
+            perc_row = place(perc_acc, perc_row)
+            tr_row = place(tr_acc, tr_row)
 
-    jax.lax.fori_loop(0, n_oct, octet_body, 0, unroll=False)
+        inter_ref[...] = inter_row
+        perc_ref[...] = perc_row
+        tr_ref[...] = tr_row
+
+    return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_cap", "w_pad", "interpret")
+    jax.jit, static_argnames=("w_pad", "chunk", "interpret")
 )
-def pair_join_counters(
-    all_pair,  # int32 [G_pad, 2W] (ids || counts), sorted ids, 0-count pad
-    perm_rows,  # int32 [R_tot] gene id per row (>= n_true for pad rows)
-    cand,  # int32 [R_tot, K] candidate gene ids (empty slots -> pad gene)
-    cnt,  # int32 [R_tot] candidate count per row (0 for pad rows)
-    prof_width,  # int32 [G_pad] true profile widths (0 for pad genes)
-    k_cap: int,
+def _join_pairs_device(
+    all_pair,  # int32 [G_pad, 2W] packed profiles (ids || counts)
+    a_idx,  # int32 [P] (P a multiple of `chunk`)
+    b_idx,  # int32 [P]
     w_pad: int,
+    chunk: int,
     interpret: bool = False,
 ):
-    """Returns (inter, perc, tr) f32 [R_tot, K] exact integer counters."""
-    R_tot, K = cand.shape
-    assert K == k_cap and all_pair.shape[1] == 2 * w_pad
-    assert K % _OCT == 0 and w_pad % _LANE == 0
+    """Exact counters per pair: (inter, perc, tr) f32 [P] with perc
+    relative to the a-side.  Expands profile rows chunk-by-chunk with
+    XLA gathers and runs the Pallas join on each chunk."""
+    P = a_idx.shape[0]
+    n_chunks = P // chunk
+    kernel = _make_kernel(w_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(R_tot,),
+        num_scalar_prefetch=0,
+        grid=(chunk // _PAIR_BLOCK,),
         in_specs=[
-            pl.BlockSpec(
-                (1, 2 * w_pad),
-                lambda r, perm, cnt_, wid: (perm[r], 0),
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((_PAIR_BLOCK, 2 * w_pad), lambda p: (p, 0)),
+            pl.BlockSpec((_PAIR_BLOCK, 2 * w_pad), lambda p: (p, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((K, 1), lambda r, *_: (0, r)),
-            pl.BlockSpec((K, 1), lambda r, *_: (0, r)),
-            pl.BlockSpec((K, 1), lambda r, *_: (0, r)),
-        ],
-        scratch_shapes=[
-            pltpu.SMEM((3, K), jnp.int32),
-            pltpu.VMEM((2 * K, 2 * w_pad), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA((2, K)),
+            pl.BlockSpec((1, _PAIR_BLOCK), lambda p: (0, p)),
+            pl.BlockSpec((1, _PAIR_BLOCK), lambda p: (0, p)),
+            pl.BlockSpec((1, _PAIR_BLOCK), lambda p: (0, p)),
         ],
     )
-    out_shape = [
-        jax.ShapeDtypeStruct((K, R_tot), jnp.float32) for _ in range(3)
-    ]
-    kernel = functools.partial(
-        _join_kernel, k_cap=k_cap, w_pad=w_pad, n_rows=R_tot
-    )
-    inter_t, perc_t, tr_t = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
+
+    def run_chunk(a_exp, b_exp):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((1, chunk), jnp.float32)
+                for _ in range(3)
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(a_exp, b_exp)
+
+    def body(ci, outs):
+        ai = jax.lax.dynamic_slice(a_idx, (ci * chunk,), (chunk,))
+        bi = jax.lax.dynamic_slice(b_idx, (ci * chunk,), (chunk,))
+        a_exp = jnp.take(all_pair, ai, axis=0)
+        b_exp = jnp.take(all_pair, bi, axis=0)
+        inter_c, perc_c, tr_c = run_chunk(a_exp, b_exp)
+        return tuple(
+            jax.lax.dynamic_update_slice(o, v.reshape(-1), (ci * chunk,))
+            for o, v in zip(outs, (inter_c, perc_c, tr_c))
+        )
+
+    z = jnp.zeros((P,), jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, body, (z, z, z))
+
+
+def join_pairs(
+    all_pair,  # device int32 [G_pad, 2W]
+    i,  # numpy int [P_in] a-side gene per pair
+    j,  # numpy int [P_in] b-side gene per pair
+    widths,  # numpy int [>= n_true] true profile width per gene
+    w_pad: int,
+    pad_gene: int,
+    interpret: bool = False,
+):
+    """Exact counters (inter, perc, tr) f32 numpy [P_in], perc w.r.t. i.
+
+    Each unordered pair is joined once (canonical lo<hi orientation) on
+    device and mirrored to all duplicate/reversed occurrences on host
+    (``perc(i,j) == tr(j,i)``).  Unique pairs are sorted by max profile
+    width so sublane octets carry uniform tile counts."""
+    P_in = len(i)
+    if P_in == 0:
+        z = np.zeros(0, np.float32)
+        return z, z, z
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+
+    lo = np.minimum(i, j)
+    hi = np.maximum(i, j)
+    g1 = np.int64(all_pair.shape[0] + 1)
+    canon = lo * g1 + hi
+    uniq, inv = np.unique(canon, return_inverse=True)
+    rep_lo = (uniq // g1).astype(np.int32)
+    rep_hi = (uniq % g1).astype(np.int32)
+
+    # octet packing: group similar-sized joins together
+    wpad_tbl = np.zeros(int(all_pair.shape[0]) + 1, np.int64)
+    wpad_tbl[: len(widths)] = widths
+    wkey = np.maximum(wpad_tbl[rep_lo], wpad_tbl[rep_hi])
+    order = np.argsort(wkey, kind="stable").astype(np.int64)
+    rep_lo = rep_lo[order]
+    rep_hi = rep_hi[order]
+
+    chunk = _CHUNK if not interpret else 256
+    P = len(uniq)
+    P_pad = max(chunk, -(-P // chunk) * chunk)
+    if P_pad != P:
+        fill = np.full(P_pad - P, pad_gene, dtype=np.int32)
+        rep_lo = np.concatenate([rep_lo, fill])
+        rep_hi = np.concatenate([rep_hi, fill])
+
+    u_inter, u_perc, u_tr = _join_pairs_device(
+        all_pair,
+        jnp.asarray(rep_lo),
+        jnp.asarray(rep_hi),
+        w_pad=w_pad,
+        chunk=chunk,
         interpret=interpret,
-    )(perm_rows, cnt, prof_width, all_pair, all_pair, cand)
-    return inter_t.T, perc_t.T, tr_t.T
+    )
+    # un-sort back to uniq order
+    unsort = np.empty(P, np.int64)
+    unsort[order] = np.arange(P, dtype=np.int64)
+    u_inter = np.asarray(u_inter)[:P][unsort]
+    u_perc = np.asarray(u_perc)[:P][unsort]
+    u_tr = np.asarray(u_tr)[:P][unsort]
+
+    swap = i > j  # pair was stored (hi, lo): perc/tr exchange
+    p_inter = u_inter[inv]
+    p_perc = np.where(swap, u_tr[inv], u_perc[inv])
+    p_tr = np.where(swap, u_perc[inv], u_tr[inv])
+    return (
+        p_inter.astype(np.float32),
+        p_perc.astype(np.float32),
+        p_tr.astype(np.float32),
+    )
 
 
 def pack_profiles(padded_ids, padded_counts):

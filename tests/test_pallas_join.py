@@ -6,9 +6,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from pandelos_tpu.ops.pallas_join import pair_join_counters, pack_profiles
-
-_LANE = 128
+from pandelos_tpu.ops.pallas_join import join_pairs, pack_profiles
 
 
 def _numpy_counters(ids_a, cnt_a, ids_b, cnt_b):
@@ -22,60 +20,59 @@ def _numpy_counters(ids_a, cnt_a, ids_b, cnt_b):
     return inter, perc, tr
 
 
-def _random_problem(rng, n_genes, W, K, vocab=500, max_cnt=5):
-    G_pad = n_genes + 2  # one empty pad gene + round slack
+@pytest.mark.parametrize("seed,n_genes,W,n_pairs", [(0, 8, 128, 40), (1, 12, 256, 90)])
+def test_join_pairs_interpret(seed, n_genes, W, n_pairs):
+    rng = np.random.default_rng(seed)
+    vocab, max_cnt = 400, 5
+    G_pad = n_genes + 2
     ids = np.full((G_pad, W), vocab, dtype=np.int32)
     counts = np.zeros((G_pad, W), dtype=np.int32)
-    widths = np.zeros(G_pad, dtype=np.int32)
+    widths = np.zeros(G_pad, dtype=np.int64)
     for g in range(n_genes):
         w = int(rng.integers(0, W + 1))
-        vs = np.sort(rng.choice(vocab, size=w, replace=False)).astype(np.int32)
-        ids[g, :w] = vs
+        ids[g, :w] = np.sort(
+            rng.choice(vocab, size=w, replace=False)
+        ).astype(np.int32)
         counts[g, :w] = rng.integers(1, max_cnt, size=w)
         widths[g] = w
 
-    R_tot = n_genes + 1  # one padding row
-    perm = np.concatenate(
-        [rng.permutation(n_genes), [n_genes]]
-    ).astype(np.int32)
-    cand = np.full((R_tot, K), n_genes, dtype=np.int32)  # pad gene
-    cnt = np.zeros(R_tot, dtype=np.int32)
-    for r in range(n_genes):
-        n = int(rng.integers(0, K + 1))
-        cand[r, :n] = rng.integers(0, n_genes, size=n)
-        cnt[r] = n
-    return ids, counts, widths, perm, cand, cnt
+    # pair list with duplicates and mirrored pairs
+    i = rng.integers(0, n_genes, size=n_pairs)
+    j = rng.integers(0, n_genes, size=n_pairs)
+    keep = i != j
+    i, j = i[keep], j[keep]
+    i = np.concatenate([i, j[:5]])
+    j = np.concatenate([j, i[:5]])
 
-
-@pytest.mark.parametrize("seed,n_genes,W,K", [(0, 6, 128, 8), (1, 12, 256, 16), (2, 9, 384, 24)])
-def test_pair_join_counters_interpret(seed, n_genes, W, K):
-    rng = np.random.default_rng(seed)
-    ids, counts, widths, perm, cand, cnt = _random_problem(
-        rng, n_genes, W, K
-    )
     all_pair = pack_profiles(ids, counts)
-    inter, perc, tr = pair_join_counters(
+    inter, perc, tr = join_pairs(
         jnp.asarray(all_pair),
-        jnp.asarray(perm),
-        jnp.asarray(cand),
-        jnp.asarray(cnt),
-        jnp.asarray(widths),
-        k_cap=K,
+        i,
+        j,
+        widths,
         w_pad=W,
+        pad_gene=n_genes,
         interpret=True,
     )
-    inter = np.asarray(inter)
-    perc = np.asarray(perc)
-    tr = np.asarray(tr)
-    for r in range(len(perm)):
-        g = perm[r]
-        for s in range(K):
-            if s < cnt[r]:
-                j = cand[r, s]
-                want = _numpy_counters(
-                    ids[g], counts[g], ids[j], counts[j]
-                )
-                got = (int(inter[r, s]), int(perc[r, s]), int(tr[r, s]))
-                assert got == want, (r, s, g, j, got, want)
-            else:
-                assert inter[r, s] == 0
+    for p in range(len(i)):
+        want = _numpy_counters(
+            ids[i[p]], counts[i[p]], ids[j[p]], counts[j[p]]
+        )
+        got = (int(inter[p]), int(perc[p]), int(tr[p]))
+        assert got == want, (p, i[p], j[p], got, want)
+
+
+def test_join_pairs_empty():
+    all_pair = pack_profiles(
+        np.full((2, 128), 9, np.int32), np.zeros((2, 128), np.int32)
+    )
+    inter, perc, tr = join_pairs(
+        jnp.asarray(all_pair),
+        np.zeros(0, np.int64),
+        np.zeros(0, np.int64),
+        np.zeros(2, np.int64),
+        w_pad=128,
+        pad_gene=1,
+        interpret=True,
+    )
+    assert len(inter) == 0

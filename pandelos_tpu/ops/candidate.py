@@ -236,17 +236,19 @@ def _candidate_blocks(
             )
             return ins(inter_o, inter_k), ins(perc_o, perc_k), ins(tr_o, tr_k)
 
-        zeros = jnp.zeros((R, K), dtype=jnp.float32)
-        if do_join:
-            # only walk candidate slots that exist somewhere in this block
-            k_used = jnp.minimum(jnp.max(counts), K)
-            inter, perc, tr = jax.lax.fori_loop(
-                0, k_used, k_step, (zeros, zeros, zeros)
-            )
-        else:
+        if not do_join:
             # extraction-only mode: the exact join runs elsewhere (the
-            # Pallas compare-and-rotate kernel, ops/pallas_join.py)
-            inter = perc = tr = zeros
+            # Pallas compare-and-rotate kernel, ops/pallas_join.py).
+            # Emit ONLY (grow, cand, counts): the zero counter arrays
+            # would otherwise cost ~250MB of fetch per full pass over
+            # the remote-TPU tunnel.
+            return None, (grow, cand, counts)
+        zeros = jnp.zeros((R, K), dtype=jnp.float32)
+        # only walk candidate slots that exist somewhere in this block
+        k_used = jnp.minimum(jnp.max(counts), K)
+        inter, perc, tr = jax.lax.fori_loop(
+            0, k_used, k_step, (zeros, zeros, zeros)
+        )
 
         # --- validity (exact integer form of the 1/(2k) threshold)
         cand_lens = col_lens[jnp.minimum(cand, G_pad - 1)]
@@ -453,16 +455,16 @@ def compute_cells_candidate(
         perm_ext = np.concatenate(
             [perm_pad, np.full(row_block, G, dtype=np.int32)]
         )
-        grow, cand, inter, perc, tr, valid, counts = runner.run(
+        outs = runner.run(
             perm_ext, starts, row_block, w_row, K, do_join=not use_pallas
         )
+        if use_pallas:
+            grow, cand, counts = outs
+        else:
+            grow, cand, inter, perc, tr, valid, counts = outs
         grow = grow.reshape(-1)  # [n_blocks * R]
         counts = counts.reshape(-1)
-        valid = valid.reshape(-1, K)
         cand = cand.reshape(-1, K)
-        inter = inter.reshape(-1, K)
-        perc = perc.reshape(-1, K)
-        tr = tr.reshape(-1, K)
 
         over = (counts > K) & (grow < G)
         overflow_rows.extend(zip(grow[over].tolist(), counts[over].tolist()))
@@ -471,6 +473,11 @@ def compute_cells_candidate(
         if use_pallas:
             pallas_parts.append((grow, cand, np.where(ok, counts, 0)))
             continue
+
+        valid = valid.reshape(-1, K)
+        inter = inter.reshape(-1, K)
+        perc = perc.reshape(-1, K)
+        tr = tr.reshape(-1, K)
 
         vmask = valid & ok[:, None]
         rr = np.broadcast_to(grow[:, None], cand.shape)[vmask]
@@ -484,6 +491,12 @@ def compute_cells_candidate(
         import jax
 
         from pandelos_tpu.ops.pallas_join import join_pairs
+
+        import os
+        import time
+
+        _trace = os.environ.get("PT_TIMING") == "1"
+        _t0 = time.monotonic()
 
         grow_all = np.concatenate([p[0] for p in pallas_parts])
         cand_all = np.concatenate([p[1] for p in pallas_parts])
@@ -501,6 +514,11 @@ def compute_cells_candidate(
         pi = grow_all[rpos]
         pj = cand_all[rpos, spos]
 
+        if _trace:
+            print(f"[pt] extract+hostprep: {time.monotonic()-_t0:.2f}s "
+                  f"pairs={len(pi)}", flush=True)
+            _t0 = time.monotonic()
+
         all_ids_d, all_counts_d, _, _, _ = runner.reps[0]
         all_pair = jnp.concatenate([all_ids_d, all_counts_d], axis=1)
         inter, perc, tr = join_pairs(
@@ -512,6 +530,11 @@ def compute_cells_candidate(
             pad_gene=G,
             interpret=jax.default_backend() == "cpu",
         )
+
+        if _trace:
+            print(f"[pt] join_pairs: {time.monotonic()-_t0:.2f}s",
+                  flush=True)
+            _t0 = time.monotonic()
 
         # validity (exact integer form of the 1/(2k) threshold), in f32
         # like the device path — all quantities are integers < 2^24

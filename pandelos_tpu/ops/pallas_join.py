@@ -232,6 +232,12 @@ def join_pairs(
     device and mirrored to all duplicate/reversed occurrences on host
     (``perc(i,j) == tr(j,i)``).  Unique pairs are sorted by max profile
     width so sublane octets carry uniform tile counts."""
+    import os
+    import time
+
+    _trace = os.environ.get("PT_TIMING") == "1"
+    _t0 = time.monotonic()
+
     P_in = len(i)
     if P_in == 0:
         z = np.zeros(0, np.float32)
@@ -247,11 +253,15 @@ def join_pairs(
     rep_lo = (uniq // g1).astype(np.int32)
     rep_hi = (uniq % g1).astype(np.int32)
 
-    # octet packing: group similar-sized joins together
+    # octet packing vs gather locality: canonical (lo-major) order keeps
+    # long runs of the same a-row (fast gathers — a full width sort
+    # measured ~1.5x SLOWER end-to-end from random-row gathers alone);
+    # sorting by the b-side TILE class only within each lo-run equalizes
+    # the octet's dominant cost without breaking a-row locality.
     wpad_tbl = np.zeros(int(all_pair.shape[0]) + 1, np.int64)
     wpad_tbl[: len(widths)] = widths
-    wkey = np.maximum(wpad_tbl[rep_lo], wpad_tbl[rep_hi])
-    order = np.argsort(wkey, kind="stable").astype(np.int64)
+    nb_class = (wpad_tbl[rep_hi] + _LANE - 1) // _LANE
+    order = np.lexsort((nb_class, rep_lo)).astype(np.int64)
     rep_lo = rep_lo[order]
     rep_hi = rep_hi[order]
 
@@ -263,6 +273,11 @@ def join_pairs(
         rep_lo = np.concatenate([rep_lo, fill])
         rep_hi = np.concatenate([rep_hi, fill])
 
+    if _trace:
+        print(f"[pt]   dedup+sort: {time.monotonic()-_t0:.2f}s "
+              f"uniq={P}", flush=True)
+        _t0 = time.monotonic()
+
     u_inter, u_perc, u_tr = _join_pairs_device(
         all_pair,
         jnp.asarray(rep_lo),
@@ -271,6 +286,13 @@ def join_pairs(
         chunk=chunk,
         interpret=interpret,
     )
+    import jax as _jax
+
+    if _trace:
+        _jax.block_until_ready(u_inter)
+        print(f"[pt]   device join: {time.monotonic()-_t0:.2f}s",
+              flush=True)
+        _t0 = time.monotonic()
     # un-sort back to uniq order
     unsort = np.empty(P, np.int64)
     unsort[order] = np.arange(P, dtype=np.int64)
@@ -282,6 +304,9 @@ def join_pairs(
     p_inter = u_inter[inv]
     p_perc = np.where(swap, u_tr[inv], u_perc[inv])
     p_tr = np.where(swap, u_perc[inv], u_tr[inv])
+    if _trace:
+        print(f"[pt]   fetch+mirror: {time.monotonic()-_t0:.2f}s",
+              flush=True)
     return (
         p_inter.astype(np.float32),
         p_perc.astype(np.float32),

@@ -18,6 +18,7 @@ import numpy as np  # noqa: E402
 def main():
     preset = sys.argv[1] if len(sys.argv) > 1 else "mycoplasma64"
     row_block = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    cap = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     import jax
 
@@ -34,7 +35,7 @@ def main():
     )
     index = KmerIndex.load(os.path.join(cache, f"{preset}.index.npz"))
     G = index.n_sequences
-    cfg = PipelineConfig(row_block=row_block, col_block=512, candidate_cap=1)
+    cfg = PipelineConfig(row_block=row_block, col_block=512, candidate_cap=cap)
 
     padded = pad_profiles(index, row_block, 512)
     sig, B, shift = build_signatures(index, padded, cfg)
@@ -50,9 +51,10 @@ def main():
             perm_ext = np.concatenate(
                 [perm_pad, np.full(row_block, G, dtype=np.int32)]
             )
-            outs = runner.run(perm_ext, starts, row_block, w_row, 1)
+            outs = runner.run(perm_ext, starts, row_block, w_row, cap,
+                              do_join=False)
             grow = outs[0].reshape(-1)
-            counts = outs[6].reshape(-1)
+            counts = outs[2].reshape(-1)
             keep = grow < G
             counts_all.append(counts[keep])
         return np.concatenate(counts_all)

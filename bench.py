@@ -111,10 +111,10 @@ def main() -> int:
 
     total_lookups = int(index.computation_costs.sum())
 
-    backend = os.environ.get("BENCH_BACKEND", "xla")
-    use_device_bbh = os.environ.get("BENCH_DEVICE_BBH", "1") != "0"
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
+    use_device_bbh = os.environ.get("BENCH_DEVICE_BBH", "0") == "1"
     config = PipelineConfig(
-        backend=backend, row_block=128, col_block=512, level_cap=4
+        backend=backend, row_block=256, col_block=512, level_cap=4
     )
 
     from pandelos_tpu.pipeline import compute_cells

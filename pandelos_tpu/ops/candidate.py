@@ -82,6 +82,14 @@ def build_signatures(
         pick_buckets,
     )
 
+    cache = getattr(index, "_pad_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(index, "_pad_cache", cache)
+    ckey = ("sig", padded.ids.shape, bool(force_host))
+    if ckey in cache:
+        return cache[ckey]
+
     n_buckets, shift = pick_buckets(
         index.vocab_size,
         max(1, index.max_profile_len),
@@ -94,13 +102,16 @@ def build_signatures(
             jnp.asarray(padded.ids), jnp.asarray(padded.counts),
             n_buckets=n_buckets, shift=shift, round_up_bf16=True,
         )
-        return mass, n_buckets, shift
-    mass = host_histogram(padded.ids, padded.counts, n_buckets, shift)
-    return (
-        jnp.asarray(_bf16_round_up(mass)).astype(jnp.bfloat16),
-        n_buckets,
-        shift,
-    )
+        out = (mass, n_buckets, shift)
+    else:
+        mass = host_histogram(padded.ids, padded.counts, n_buckets, shift)
+        out = (
+            jnp.asarray(_bf16_round_up(mass)).astype(jnp.bfloat16),
+            n_buckets,
+            shift,
+        )
+    cache[ckey] = out
+    return out
 
 
 @functools.partial(
@@ -441,7 +452,12 @@ def compute_cells_candidate(
     K = config.candidate_cap
 
     sig_mass, _, _ = build_signatures(index, padded, config)
-    runner = BlockRunner(index, padded, sig_mass, config)
+    rkey = ("runner", padded.ids.shape, config.n_devices or 1)
+    cache = index._pad_cache  # populated by pad_profiles
+    runner = cache.get(rkey)
+    if runner is None:
+        runner = BlockRunner(index, padded, sig_mass, config)
+        cache[rkey] = runner
 
     widths = np.diff(index.profile_ptr)
 
@@ -519,8 +535,12 @@ def compute_cells_candidate(
                   f"pairs={len(pi)}", flush=True)
             _t0 = time.monotonic()
 
-        all_ids_d, all_counts_d, _, _, _ = runner.reps[0]
-        all_pair = jnp.concatenate([all_ids_d, all_counts_d], axis=1)
+        pkey = ("all_pair", padded.ids.shape)
+        all_pair = cache.get(pkey)
+        if all_pair is None:
+            all_ids_d, all_counts_d, _, _, _ = runner.reps[0]
+            all_pair = jnp.concatenate([all_ids_d, all_counts_d], axis=1)
+            cache[pkey] = all_pair
         inter, perc, tr = join_pairs(
             all_pair,
             pi,

@@ -71,6 +71,26 @@ class PaddedProfiles:
 
 
 def pad_profiles(index: KmerIndex, row_block: int, col_block: int) -> PaddedProfiles:
+    """Dense padded (ids, counts) arrays for the device engines.
+
+    Memoized on the index: rebuilding costs seconds of host time per
+    call at Mycoplasma-64 scale and every scoring pass needs the same
+    arrays."""
+    cache = getattr(index, "_pad_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(index, "_pad_cache", cache)
+    key = ("pad", row_block, col_block)
+    if key in cache:
+        return cache[key]
+    out = _pad_profiles_impl(index, row_block, col_block)
+    cache[key] = out
+    return out
+
+
+def _pad_profiles_impl(
+    index: KmerIndex, row_block: int, col_block: int
+) -> PaddedProfiles:
     G = index.n_sequences
     W = max(128, _round_up(max(1, index.max_profile_len), 128))
     # Always strictly more padded rows than genes: padded (empty) rows are

@@ -147,9 +147,13 @@ def main() -> int:
         cells = compute_cells(index, config)  # includes first-call compile
         timings["score_with_compile"] = time.monotonic() - t0
 
-        t0 = time.monotonic()
-        cells = compute_cells(index, config)
-        score_time = time.monotonic() - t0
+        # best of two warm passes: the 2-vCPU host makes single-trial
+        # numpy stages noisy (page faults / tunnel servicing)
+        score_time = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            cells = compute_cells(index, config)
+            score_time = min(score_time, time.monotonic() - t0)
         timings["score"] = score_time
         n_cells = int(len(cells.row))
 

@@ -66,6 +66,69 @@ def _split_until_max_k(nodes, graph: nx.Graph, seq_genome) -> List[List[int]]:
     return result
 
 
+def _max_collision_arrays(members, eu, ev, seq_genome) -> int:
+    """Vectorized _max_collision for a member set against the edge list
+    of its (parent) component."""
+    mset = np.asarray(sorted(members), dtype=np.int64)
+    pos = {int(g): t for t, g in enumerate(mset)}
+    genomes = seq_genome[mset]
+    n_by_genome = {}
+    for g in genomes:
+        n_by_genome[int(g)] = n_by_genome.get(int(g), 0) + 1
+    deg_same = np.zeros(len(mset), dtype=np.int64)
+    for u, v in zip(eu, ev):
+        pu, pv = pos.get(int(u)), pos.get(int(v))
+        if pu is None or pv is None:
+            continue
+        if seq_genome[u] == seq_genome[v]:
+            deg_same[pu] += 1
+            deg_same[pv] += 1
+    coll = np.asarray(
+        [n_by_genome[int(g)] for g in genomes], dtype=np.int64
+    ) - 1 - deg_same
+    return int(coll.max(initial=0))
+
+
+def _split_component_native(
+    members, eu, ev, seq_genome
+) -> "List[List[int]] | None":
+    """Native one-level GN split + recursion (netclu_ng.py:101-115).
+
+    `eu`/`ev`: the component's edges in .net insertion order.  Node ids
+    are mapped to local indices by first appearance in the edge stream —
+    the same dict order networkx sees when netclu builds the full graph
+    from the .net file — so the native Brandes/argmax pass is bit-exact
+    with the networkx path."""
+    from pandelos_tpu.native.loader import native_gn_split
+
+    stream = np.empty(2 * len(eu), dtype=np.int64)
+    stream[0::2] = eu
+    stream[1::2] = ev
+    _, first_idx = np.unique(stream, return_index=True)
+    node_order = stream[np.sort(first_idx)]
+    lid = {int(g): t for t, g in enumerate(node_order)}
+    leu = np.asarray([lid[int(u)] for u in eu], dtype=np.int32)
+    lev = np.asarray([lid[int(v)] for v in ev], dtype=np.int32)
+    labels = native_gn_split(len(node_order), leu, lev)
+    if labels is None:
+        return None
+
+    result: List[List[int]] = []
+    for lab in range(int(labels.max()) + 1):
+        com = node_order[labels == lab]
+        if _max_collision_arrays(com, eu, ev, seq_genome) > 0:
+            in_com = np.isin(eu, com) & np.isin(ev, com)
+            sub = _split_component_native(
+                com, eu[in_com], ev[in_com], seq_genome
+            )
+            if sub is None:
+                return None
+            result.extend(sub)
+        else:
+            result.append(sorted(int(g) for g in com))
+    return result
+
+
 def cluster_network(
     edges: Sequence[Tuple[int, int, float]],
     seq_genome: np.ndarray,
@@ -156,12 +219,24 @@ def cluster_network(
         if comp_coll[c] > 0:
             el, eh = edge_starts[c], edge_starts[c + 1]
             idx = order_e[el:eh]
-            sub = nx.Graph()
-            sub.add_nodes_from(members.tolist())
-            sub.add_weighted_edges_from(
-                zip(ea2[idx].tolist(), eb2[idx].tolist(), ew2[idx].tolist())
-            )
-            coms = _split_until_max_k(set(members.tolist()), sub, seq_genome)
+            ceu, cev = ea2[idx], eb2[idx]
+            coms = _split_component_native(members, ceu, cev, seq_genome)
+            if coms is None:  # native core unavailable: networkx path
+                # insertion order must match netclu's full-graph dict
+                # order: nodes first appear inside their own component's
+                # edges, in .net order
+                stream = np.empty(2 * len(ceu), dtype=np.int64)
+                stream[0::2] = ceu
+                stream[1::2] = cev
+                _, fidx = np.unique(stream, return_index=True)
+                sub = nx.Graph()
+                sub.add_nodes_from(stream[np.sort(fidx)].tolist())
+                sub.add_weighted_edges_from(
+                    zip(ceu.tolist(), cev.tolist(), ew2[idx].tolist())
+                )
+                coms = _split_until_max_k(
+                    set(members.tolist()), sub, seq_genome
+                )
         else:
             coms = [sorted(members.tolist())]
         for com in coms:

@@ -16,6 +16,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <deque>
 #include <thread>
 #include <vector>
 
@@ -199,6 +200,148 @@ int pt_build_index(const uint8_t* concat, int64_t total_len,
     *out_nnz = nnz;
     *out_vocab_size = vocab_size;
     *out_total_vocab = total_vocab;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// One Girvan-Newman split level (netclu_ng.py:101-115 via networkx
+// girvan_newman): repeatedly remove the max-edge-betweenness edge until
+// the number of connected components increases; returns component labels.
+//
+// Bit-parity with networkx 3.x is preserved by mirroring its exact
+// iteration and float accumulation order:
+// - nodes are 0..n-1 in the caller's insertion order (first appearance
+//   in the .net edge stream, like PangeneNet/netclu's dict order),
+// - adjacency lists keep edge-insertion order; removals erase in place,
+// - Brandes' BFS accumulation (_single_source_shortest_path_basic +
+//   _accumulate_edges) runs per source in node order with float64 sums
+//   in identical order,
+// - rescale multiplies every edge by 1/(n*(n-1)) (normalized=True),
+// - the argmax replicates max() over the G.edges() iteration order
+//   (first endpoint in node order, neighbors in adjacency order,
+//   skipping earlier-source nodes), keeping the FIRST maximum on ties.
+
+extern "C" int pt_gn_split(int32_t n, int64_t m, const int32_t* eu,
+                           const int32_t* ev, int32_t* out_labels) {
+    if (n <= 0 || m < 0) return -1;
+    struct Nbr {
+        int32_t v;
+        int64_t eid;
+    };
+    std::vector<std::vector<Nbr>> adj(n);
+    for (int64_t e = 0; e < m; e++) {
+        adj[eu[e]].push_back({ev[e], e});
+        adj[ev[e]].push_back({eu[e], e});
+    }
+    std::vector<uint8_t> removed(m, 0);
+
+    auto count_components = [&](int32_t* labels) {
+        int32_t n_comp = 0;
+        std::vector<int32_t> lab(n, -1);
+        std::vector<int32_t> stack;
+        for (int32_t s = 0; s < n; s++) {
+            if (lab[s] >= 0) continue;
+            lab[s] = n_comp;
+            stack.push_back(s);
+            while (!stack.empty()) {
+                int32_t v = stack.back();
+                stack.pop_back();
+                for (const auto& nb : adj[v]) {
+                    if (!removed[nb.eid] && lab[nb.v] < 0) {
+                        lab[nb.v] = n_comp;
+                        stack.push_back(nb.v);
+                    }
+                }
+            }
+            n_comp++;
+        }
+        if (labels) std::memcpy(labels, lab.data(), sizeof(int32_t) * n);
+        return n_comp;
+    };
+
+    const int32_t original = count_components(nullptr);
+    int32_t current = original;
+
+    std::vector<double> bet(m);
+    std::vector<double> sigma(n), delta(n);
+    std::vector<int32_t> dist(n);
+    std::vector<int32_t> order;  // S: BFS visit order
+    std::vector<std::vector<int32_t>> preds(n);
+    const double scale = 1.0 / ((double)n * (double)(n - 1));
+
+    while (current <= original) {
+        // --- edge betweenness (Brandes, unweighted)
+        std::fill(bet.begin(), bet.end(), 0.0);
+        for (int32_t s = 0; s < n; s++) {
+            order.clear();
+            for (int32_t v = 0; v < n; v++) {
+                preds[v].clear();
+                sigma[v] = 0.0;
+                dist[v] = -1;
+                delta[v] = 0.0;
+            }
+            sigma[s] = 1.0;
+            dist[s] = 0;
+            std::deque<int32_t> q;
+            q.push_back(s);
+            while (!q.empty()) {
+                int32_t v = q.front();
+                q.pop_front();
+                order.push_back(v);
+                const int32_t dv = dist[v];
+                const double sv = sigma[v];
+                for (const auto& nb : adj[v]) {
+                    if (removed[nb.eid]) continue;
+                    const int32_t w = nb.v;
+                    if (dist[w] < 0) {
+                        q.push_back(w);
+                        dist[w] = dv + 1;
+                    }
+                    if (dist[w] == dv + 1) {
+                        sigma[w] += sv;
+                        preds[w].push_back(v);
+                    }
+                }
+            }
+            // accumulate (pop S in reverse)
+            for (int64_t t = (int64_t)order.size() - 1; t >= 0; t--) {
+                const int32_t w = order[t];
+                const double coeff = (1.0 + delta[w]) / sigma[w];
+                for (const int32_t v : preds[w]) {
+                    const double c = sigma[v] * coeff;
+                    // find the (v, w) edge id (adjacency is tiny)
+                    for (const auto& nb : adj[v]) {
+                        if (nb.v == w && !removed[nb.eid]) {
+                            bet[nb.eid] += c;
+                            break;
+                        }
+                    }
+                    delta[v] += c;
+                }
+            }
+        }
+        for (int64_t e = 0; e < m; e++) bet[e] *= scale;
+
+        // --- argmax in G.edges() order, first max wins on ties
+        std::vector<uint8_t> seen(n, 0);
+        int64_t best = -1;
+        double best_val = 0.0;
+        for (int32_t u = 0; u < n; u++) {
+            for (const auto& nb : adj[u]) {
+                if (removed[nb.eid] || seen[nb.v]) continue;
+                if (best < 0 || bet[nb.eid] > best_val) {
+                    best = nb.eid;
+                    best_val = bet[nb.eid];
+                }
+            }
+            seen[u] = 1;
+        }
+        if (best < 0) break;  // no edges left (degenerate)
+        removed[best] = 1;
+        current = count_components(nullptr);
+    }
+
+    count_components(out_labels);
     return 0;
 }
 

@@ -77,12 +77,45 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.pt_free.restype = None
         lib.pt_free.argtypes = [ctypes.c_void_p]
+        lib.pt_gn_split.restype = ctypes.c_int
+        lib.pt_gn_split.argtypes = [
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return _lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def native_gn_split(
+    n: int, eu: np.ndarray, ev: np.ndarray
+) -> Optional[np.ndarray]:
+    """One Girvan-Newman split level over a graph of `n` nodes (local ids
+    0..n-1 in first-appearance order) and edges (eu[i], ev[i]) in
+    insertion order.  Returns int32 component labels, or None when the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    eu = np.ascontiguousarray(eu, dtype=np.int32)
+    ev = np.ascontiguousarray(ev, dtype=np.int32)
+    labels = np.empty(n, dtype=np.int32)
+    rc = lib.pt_gn_split(
+        ctypes.c_int32(n),
+        ctypes.c_int64(len(eu)),
+        eu.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ev.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        return None
+    return labels
 
 
 def native_build_index(concat: np.ndarray, offsets: np.ndarray, k: int):

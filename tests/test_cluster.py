@@ -74,3 +74,47 @@ def test_recursive_split_deep():
     res = cluster_network(edges, seq_genome, 6)
     fams = sorted(map(tuple, res.families))
     assert (0, 3) in fams and (1, 4) in fams and (2, 5) in fams
+
+
+def test_native_gn_split_matches_networkx():
+    """The C++ Girvan-Newman split must be bit-parity with networkx
+    (same Brandes accumulation order, same first-max tie rule)."""
+    import networkx as nx
+    import numpy as np
+
+    from pandelos_tpu.native.loader import native_available, native_gn_split
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native core unavailable")
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        n = int(rng.integers(4, 30))
+        G = nx.gnp_random_graph(
+            n, float(rng.uniform(0.1, 0.5)), seed=int(rng.integers(1 << 30))
+        )
+        if G.number_of_edges() == 0:
+            continue
+        edges = list(G.edges())
+        rng.shuffle(edges)
+        node_order, lid = [], {}
+        for e in edges:
+            for x in e:
+                if x not in lid:
+                    lid[x] = len(node_order)
+                    node_order.append(x)
+        H = nx.Graph()
+        H.add_nodes_from(node_order)
+        H.add_edges_from(edges)
+        gn = nx.algorithms.community.centrality.girvan_newman(H)
+        want = sorted(tuple(sorted(c)) for c in next(gn))
+        eu = np.array([lid[u] for u, v in edges], np.int32)
+        ev = np.array([lid[v] for u, v in edges], np.int32)
+        labels = native_gn_split(len(node_order), eu, ev)
+        got = {}
+        for t, g in enumerate(node_order):
+            got.setdefault(int(labels[t]), []).append(g)
+        got = sorted(tuple(sorted(c)) for c in got.values())
+        assert got == want, trial

@@ -141,6 +141,9 @@ int pt_build_index(const uint8_t* concat, int64_t total_len,
     std::vector<uint32_t> e_gene;
     std::vector<int32_t> e_sid;
     std::vector<int32_t> e_count;
+    e_gene.reserve((size_t)n);
+    e_sid.reserve((size_t)n);
+    e_count.reserve((size_t)n);
     int64_t* costs = (int64_t*)calloc((size_t)(n_seq > 0 ? n_seq : 1), sizeof(int64_t));
     int64_t total_vocab = 0;
     int64_t vocab_size = 0;

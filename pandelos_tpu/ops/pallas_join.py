@@ -265,8 +265,11 @@ def join_pairs(
     rep_lo = rep_lo[order]
     rep_hi = rep_hi[order]
 
-    chunk = _CHUNK if not interpret else 256
     P = len(uniq)
+    # chunk sized to the workload: small datasets should not pay the
+    # full 64k-pair expansion buffers
+    full = _CHUNK if not interpret else 256
+    chunk = min(full, max(_PAIR_BLOCK, -(-P // _PAIR_BLOCK) * _PAIR_BLOCK))
     P_pad = max(chunk, -(-P // chunk) * chunk)
     if P_pad != P:
         fill = np.full(P_pad - P, pad_gene, dtype=np.int32)

@@ -535,11 +535,13 @@ def compute_cells_candidate(
                   f"pairs={len(pi)}", flush=True)
             _t0 = time.monotonic()
 
-        pkey = ("all_pair", padded.ids.shape)
+        pkey = ("all_pair", padded.ids.shape, len(runner.reps))
         all_pair = cache.get(pkey)
         if all_pair is None:
-            all_ids_d, all_counts_d, _, _, _ = runner.reps[0]
-            all_pair = jnp.concatenate([all_ids_d, all_counts_d], axis=1)
+            all_pair = [
+                jnp.concatenate([rep[0], rep[1]], axis=1)
+                for rep in runner.reps
+            ]
             cache[pkey] = all_pair
         inter, perc, tr = join_pairs(
             all_pair,

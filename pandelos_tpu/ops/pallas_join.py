@@ -218,7 +218,7 @@ def _join_pairs_device(
 
 
 def join_pairs(
-    all_pair,  # device int32 [G_pad, 2W]
+    all_pair,  # device int32 [G_pad, 2W] (or list of per-device replicas)
     i,  # numpy int [P_in] a-side gene per pair
     j,  # numpy int [P_in] b-side gene per pair
     widths,  # numpy int [>= n_true] true profile width per gene
@@ -230,13 +230,21 @@ def join_pairs(
 
     Each unordered pair is joined once (canonical lo<hi orientation) on
     device and mirrored to all duplicate/reversed occurrences on host
-    (``perc(i,j) == tr(j,i)``).  Unique pairs are sorted by max profile
-    width so sublane octets carry uniform tile counts."""
+    (``perc(i,j) == tr(j,i)``).  Unique pairs are grouped for octet
+    packing without breaking gather locality.
+
+    When ``all_pair`` is a list of per-device replicas, the unique-pair
+    list is split into contiguous shards joined concurrently — the same
+    embarrassingly-parallel axis as the reference's genome thread pool
+    (Pangenes.java:54-64) and BlockRunner's extraction sharding."""
     import os
     import time
 
     _trace = os.environ.get("PT_TIMING") == "1"
     _t0 = time.monotonic()
+
+    reps = all_pair if isinstance(all_pair, (list, tuple)) else [all_pair]
+    all_pair = reps[0]
 
     P_in = len(i)
     if P_in == 0:
@@ -281,18 +289,62 @@ def join_pairs(
               f"uniq={P}", flush=True)
         _t0 = time.monotonic()
 
-    u_inter, u_perc, u_tr = _join_pairs_device(
-        all_pair,
-        jnp.asarray(rep_lo),
-        jnp.asarray(rep_hi),
-        w_pad=w_pad,
-        chunk=chunk,
-        interpret=interpret,
-    )
     import jax as _jax
 
+    if len(reps) <= 1:
+        u_inter, u_perc, u_tr = _join_pairs_device(
+            all_pair,
+            jnp.asarray(rep_lo),
+            jnp.asarray(rep_hi),
+            w_pad=w_pad,
+            chunk=chunk,
+            interpret=interpret,
+        )
+        u_inter = np.asarray(u_inter)
+        u_perc = np.asarray(u_perc)
+        u_tr = np.asarray(u_tr)
+    else:
+        # contiguous shards per device, dispatched asynchronously
+        n_dev = len(reps)
+        devs = _jax.devices()[:n_dev]
+        per = -(-len(rep_lo) // (n_dev * chunk)) * chunk
+        pending = []
+        for d in range(n_dev):
+            s, e = d * per, min(len(rep_lo), (d + 1) * per)
+            if e <= s:
+                break
+            sl = rep_lo[s:e]
+            sh = rep_hi[s:e]
+            if len(sl) % chunk:
+                fillp = chunk - (len(sl) % chunk)
+                sl = np.concatenate(
+                    [sl, np.full(fillp, pad_gene, np.int32)]
+                )
+                sh = np.concatenate(
+                    [sh, np.full(fillp, pad_gene, np.int32)]
+                )
+            pending.append(
+                (
+                    e - s,
+                    _join_pairs_device(
+                        reps[d],
+                        _jax.device_put(sl, devs[d]),
+                        _jax.device_put(sh, devs[d]),
+                        w_pad=w_pad,
+                        chunk=chunk,
+                        interpret=interpret,
+                    ),
+                )
+            )
+        parts = [
+            tuple(np.asarray(o)[:nreal] for o in outs)
+            for nreal, outs in pending
+        ]
+        u_inter = np.concatenate([p[0] for p in parts])
+        u_perc = np.concatenate([p[1] for p in parts])
+        u_tr = np.concatenate([p[2] for p in parts])
+
     if _trace:
-        _jax.block_until_ready(u_inter)
         print(f"[pt]   device join: {time.monotonic()-_t0:.2f}s",
               flush=True)
         _t0 = time.monotonic()

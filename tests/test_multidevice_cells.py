@@ -47,3 +47,31 @@ def test_multidevice_with_overflow_retry():
         )
     )
     assert multi == single
+
+
+@pytest.mark.parametrize("n_devices", [2, 4])
+def test_multidevice_pallas_join_matches_single(n_devices):
+    """The sharded pair join (contiguous unique-pair shards per device)
+    must produce the same cells as the single-device pallas path."""
+    rng = np.random.default_rng(33)
+    ds = _random_ds(rng, n_genomes=4, n_fams=10)
+    idx = build_index(ds, k=3)
+    single = _cells_dict(
+        compute_cells_candidate(
+            idx,
+            PipelineConfig(
+                backend="pallas", row_block=8, col_block=128,
+                candidate_cap=32,
+            ),
+        )
+    )
+    multi = _cells_dict(
+        compute_cells_candidate(
+            idx,
+            PipelineConfig(
+                backend="pallas", row_block=8, col_block=128,
+                candidate_cap=32, n_devices=n_devices,
+            ),
+        )
+    )
+    assert multi == single

@@ -117,7 +117,8 @@ def build_signatures(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "row_block", "w_row", "cand_cap", "n_true", "k2", "do_join"
+        "row_block", "w_row", "cand_cap", "n_true", "k2", "do_join",
+        "upper_only",
     ),
 )
 def _candidate_blocks(
@@ -134,8 +135,14 @@ def _candidate_blocks(
     n_true: int,
     k2: int,
     do_join: bool = True,
+    upper_only: bool = False,
 ):
     """One width bucket's scoring pass: lax.scan over row blocks.
+
+    With ``upper_only`` the candidate mask keeps only columns j > row:
+    the bound/validity are direction-symmetric, so each unordered pair
+    appears exactly once (in its lower-id row's list) and the caller
+    mirrors results — half the extraction and join work, no dedup.
 
     Returns per block: grow [R] (global row gene ids), cand [R, K]
     (candidate col ids), inter/perc/tr [R, K] (exact integer counters in
@@ -170,7 +177,11 @@ def _candidate_blocks(
                 (jnp.float32(k2) * perc_bnd >= row_lens[:, None])
                 | (jnp.float32(k2) * tr_bnd >= col_lens[None, :])
             )
-            & (cols != grow[:, None])
+            & (
+                (cols > grow[:, None])
+                if upper_only
+                else (cols != grow[:, None])
+            )
             & (cols < n_true)
             & (grow[:, None] < n_true)
             & (row_lens[:, None] > 0)
@@ -372,7 +383,7 @@ class BlockRunner:
             ]
 
     def run(self, perm_ext, starts, row_block, w_row, cand_cap,
-            do_join=True):
+            do_join=True, upper_only=False):
         """Run a bucket's starts across devices.  Returns numpy outputs
         (grow, cand, inter, perc, tr, valid, counts) flattened over
         blocks*rows in starts order (padded blocks emit inert rows)."""
@@ -414,6 +425,7 @@ class BlockRunner:
                 n_true=self.G,
                 k2=2 * self.index.k,
                 do_join=do_join,
+                upper_only=upper_only,
             )
             pending.append((outs, len(chunk)))
         collected = []
@@ -472,7 +484,8 @@ def compute_cells_candidate(
             [perm_pad, np.full(row_block, G, dtype=np.int32)]
         )
         outs = runner.run(
-            perm_ext, starts, row_block, w_row, K, do_join=not use_pallas
+            perm_ext, starts, row_block, w_row, K,
+            do_join=not use_pallas, upper_only=use_pallas,
         )
         if use_pallas:
             grow, cand, counts = outs
@@ -551,6 +564,7 @@ def compute_cells_candidate(
             w_pad=padded.width,
             pad_gene=G,
             interpret=jax.default_backend() == "cpu",
+            assume_unique=True,  # upper-only extraction: i < j always
         )
 
         if _trace:
@@ -559,18 +573,25 @@ def compute_cells_candidate(
             _t0 = time.monotonic()
 
         # validity (exact integer form of the 1/(2k) threshold), in f32
-        # like the device path — all quantities are integers < 2^24
+        # like the device path — all quantities are integers < 2^24.
+        # The threshold is direction-symmetric, so the upper-triangle
+        # cells mirror with perc/tr exchanged.
         lens_pad = np.zeros(G_pad + 1, dtype=np.float32)
         lens_pad[:G] = index.kseq_lengths
         k2 = np.float32(2 * index.k)
         vmask = (inter > 0) & (
             (k2 * perc >= lens_pad[pi]) | (k2 * tr >= lens_pad[pj])
         )
-        r_out.append(pi[vmask].astype(np.int32))
-        c_out.append(pj[vmask].astype(np.int32))
-        i_out.append(inter[vmask].astype(np.int64))
-        p_out.append(perc[vmask].astype(np.int64))
-        t_out.append(tr[vmask].astype(np.int64))
+        vi = pi[vmask].astype(np.int32)
+        vj = pj[vmask].astype(np.int32)
+        vinter = inter[vmask].astype(np.int64)
+        vperc = perc[vmask].astype(np.int64)
+        vtr = tr[vmask].astype(np.int64)
+        r_out.append(np.concatenate([vi, vj]))
+        c_out.append(np.concatenate([vj, vi]))
+        i_out.append(np.concatenate([vinter, vinter]))
+        p_out.append(np.concatenate([vperc, vtr]))
+        t_out.append(np.concatenate([vtr, vperc]))
 
     if overflow_rows:
         by_row = {}
@@ -590,7 +611,8 @@ def compute_cells_candidate(
                 0, len(perm2) - row_block, row_block, dtype=np.int32
             )
             grow, cand, inter, perc, tr, valid, counts = runner.run(
-                perm2, starts2, row_block, padded.width, K2
+                perm2, starts2, row_block, padded.width, K2,
+                upper_only=use_pallas,
             )
             grow = grow.reshape(-1)
             valid = valid.reshape(-1, K2)
@@ -599,20 +621,50 @@ def compute_cells_candidate(
             perc = perc.reshape(-1, K2)
             tr = tr.reshape(-1, K2)
             rr = np.broadcast_to(grow[:, None], cand.shape)[valid]
-            r_out.append(rr.astype(np.int32))
-            c_out.append(cand[valid].astype(np.int32))
-            i_out.append(inter[valid].astype(np.int64))
-            p_out.append(perc[valid].astype(np.int64))
-            t_out.append(tr[valid].astype(np.int64))
+            vi = rr.astype(np.int32)
+            vj = cand[valid].astype(np.int32)
+            vinter = inter[valid].astype(np.int64)
+            vperc = perc[valid].astype(np.int64)
+            vtr = tr[valid].astype(np.int64)
+            if use_pallas:  # mirror the upper-only cells
+                r_out.append(np.concatenate([vi, vj]))
+                c_out.append(np.concatenate([vj, vi]))
+                i_out.append(np.concatenate([vinter, vinter]))
+                p_out.append(np.concatenate([vperc, vtr]))
+                t_out.append(np.concatenate([vtr, vperc]))
+            else:
+                r_out.append(vi)
+                c_out.append(vj)
+                i_out.append(vinter)
+                p_out.append(vperc)
+                t_out.append(vtr)
         else:
             # pathological rows: exact host posting walk (returns ALL
             # cells incl. invalid; finalize drops invalid identically)
             fb = _host_fallback_rows(index, rows)
-            r_out.append(fb.row)
-            c_out.append(fb.col)
-            i_out.append(fb.intersection)
-            p_out.append(fb.perc_cnt)
-            t_out.append(fb.tr_perc_cnt)
+            if use_pallas:
+                # upper-triangle discipline: keep col > row and mirror,
+                # so partner rows' mirrored cells are not duplicated
+                keep = fb.col > fb.row
+                r_out.append(np.concatenate([fb.row[keep], fb.col[keep]]))
+                c_out.append(np.concatenate([fb.col[keep], fb.row[keep]]))
+                i_out.append(
+                    np.concatenate(
+                        [fb.intersection[keep], fb.intersection[keep]]
+                    )
+                )
+                p_out.append(
+                    np.concatenate([fb.perc_cnt[keep], fb.tr_perc_cnt[keep]])
+                )
+                t_out.append(
+                    np.concatenate([fb.tr_perc_cnt[keep], fb.perc_cnt[keep]])
+                )
+            else:
+                r_out.append(fb.row)
+                c_out.append(fb.col)
+                i_out.append(fb.intersection)
+                p_out.append(fb.perc_cnt)
+                t_out.append(fb.tr_perc_cnt)
 
     return ScoreCells(
         np.concatenate(r_out),

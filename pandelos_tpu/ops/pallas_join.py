@@ -225,8 +225,13 @@ def join_pairs(
     w_pad: int,
     pad_gene: int,
     interpret: bool = False,
+    assume_unique: bool = False,
 ):
     """Exact counters (inter, perc, tr) f32 numpy [P_in], perc w.r.t. i.
+
+    With ``assume_unique`` (upper-triangle extraction: every pair occurs
+    once, already canonically oriented) the dedup/mirror machinery is
+    skipped entirely — the caller mirrors results itself.
 
     Each unordered pair is joined once (canonical lo<hi orientation) on
     device and mirrored to all duplicate/reversed occurrences on host
@@ -253,27 +258,33 @@ def join_pairs(
     i = np.asarray(i, dtype=np.int64)
     j = np.asarray(j, dtype=np.int64)
 
-    lo = np.minimum(i, j)
-    hi = np.maximum(i, j)
-    g1 = np.int64(all_pair.shape[0] + 1)
-    canon = lo * g1 + hi
-    uniq, inv = np.unique(canon, return_inverse=True)
-    rep_lo = (uniq // g1).astype(np.int32)
-    rep_hi = (uniq % g1).astype(np.int32)
+    if assume_unique:
+        rep_lo = np.ascontiguousarray(i, dtype=np.int32)
+        rep_hi = np.ascontiguousarray(j, dtype=np.int32)
+        order = None
+    else:
+        lo = np.minimum(i, j)
+        hi = np.maximum(i, j)
+        g1 = np.int64(all_pair.shape[0] + 1)
+        canon = lo * g1 + hi
+        uniq, inv = np.unique(canon, return_inverse=True)
+        rep_lo = (uniq // g1).astype(np.int32)
+        rep_hi = (uniq % g1).astype(np.int32)
 
-    # octet packing vs gather locality: canonical (lo-major) order keeps
-    # long runs of the same a-row (fast gathers — a full width sort
-    # measured ~1.5x SLOWER end-to-end from random-row gathers alone);
-    # sorting by the b-side TILE class only within each lo-run equalizes
-    # the octet's dominant cost without breaking a-row locality.
-    wpad_tbl = np.zeros(int(all_pair.shape[0]) + 1, np.int64)
-    wpad_tbl[: len(widths)] = widths
-    nb_class = (wpad_tbl[rep_hi] + _LANE - 1) // _LANE
-    order = np.lexsort((nb_class, rep_lo)).astype(np.int64)
-    rep_lo = rep_lo[order]
-    rep_hi = rep_hi[order]
+        # octet packing vs gather locality: canonical (lo-major) order
+        # keeps long runs of the same a-row (fast gathers — a full width
+        # sort measured ~1.5x SLOWER end-to-end from random-row gathers
+        # alone); sorting by the b-side TILE class only within each
+        # lo-run equalizes the octet's dominant cost without breaking
+        # a-row locality.
+        wpad_tbl = np.zeros(int(all_pair.shape[0]) + 1, np.int64)
+        wpad_tbl[: len(widths)] = widths
+        nb_class = (wpad_tbl[rep_hi] + _LANE - 1) // _LANE
+        order = np.lexsort((nb_class, rep_lo)).astype(np.int64)
+        rep_lo = rep_lo[order]
+        rep_hi = rep_hi[order]
 
-    P = len(uniq)
+    P = len(rep_lo)
     # chunk sized to the workload: small datasets should not pay the
     # full 64k-pair expansion buffers
     full = _CHUNK if not interpret else 256
@@ -348,17 +359,22 @@ def join_pairs(
         print(f"[pt]   device join: {time.monotonic()-_t0:.2f}s",
               flush=True)
         _t0 = time.monotonic()
-    # un-sort back to uniq order
-    unsort = np.empty(P, np.int64)
-    unsort[order] = np.arange(P, dtype=np.int64)
-    u_inter = np.asarray(u_inter)[:P][unsort]
-    u_perc = np.asarray(u_perc)[:P][unsort]
-    u_tr = np.asarray(u_tr)[:P][unsort]
+    if order is None:  # assume_unique: results already in input order
+        p_inter = np.asarray(u_inter)[:P]
+        p_perc = np.asarray(u_perc)[:P]
+        p_tr = np.asarray(u_tr)[:P]
+    else:
+        # un-sort back to uniq order
+        unsort = np.empty(P, np.int64)
+        unsort[order] = np.arange(P, dtype=np.int64)
+        u_inter = np.asarray(u_inter)[:P][unsort]
+        u_perc = np.asarray(u_perc)[:P][unsort]
+        u_tr = np.asarray(u_tr)[:P][unsort]
 
-    swap = i > j  # pair was stored (hi, lo): perc/tr exchange
-    p_inter = u_inter[inv]
-    p_perc = np.where(swap, u_tr[inv], u_perc[inv])
-    p_tr = np.where(swap, u_perc[inv], u_tr[inv])
+        swap = i > j  # pair was stored (hi, lo): perc/tr exchange
+        p_inter = u_inter[inv]
+        p_perc = np.where(swap, u_tr[inv], u_perc[inv])
+        p_tr = np.where(swap, u_perc[inv], u_tr[inv])
     if _trace:
         print(f"[pt]   fetch+mirror: {time.monotonic()-_t0:.2f}s",
               flush=True)

@@ -49,13 +49,31 @@ def test_candidate_matches_oracle(seed, backend):
     assert got == want
 
 
-def test_candidate_overflow_fallback():
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_candidate_overflow_fallback(backend):
     # tiny candidate cap forces the host posting-walk fallback
     rng = np.random.default_rng(3)
     ds = _random_ds(rng, n_genomes=4, n_fams=6)
     idx = build_index(ds, k=3)
     cfg = PipelineConfig(
+        backend=backend,
         row_block=8, col_block=128, candidate_cap=2, signature_buckets=256
+    )
+    got = _valid_dict(compute_cells_candidate(idx, cfg), idx)
+    want = _valid_dict(compute_cells_oracle(idx), idx)
+    assert got == want
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_candidate_device_retry(backend):
+    # cap small enough to overflow but with a widened device retry
+    # (K2 <= 4096), exercising the upper-only mirror path for pallas
+    rng = np.random.default_rng(13)
+    ds = _random_ds(rng, n_genomes=4, n_fams=6)
+    idx = build_index(ds, k=3)
+    cfg = PipelineConfig(
+        backend=backend,
+        row_block=8, col_block=128, candidate_cap=8, signature_buckets=256
     )
     got = _valid_dict(compute_cells_candidate(idx, cfg), idx)
     want = _valid_dict(compute_cells_oracle(idx), idx)

@@ -111,6 +111,11 @@ def main() -> int:
 
     total_lookups = int(index.computation_costs.sum())
 
+    # Defaults changed between BENCH_r01 runs: backend xla->pallas and
+    # device-BBH on->off (host BBH is the production default; the device
+    # variant remains opt-in).  Historical BENCH_*.json entries before the
+    # flip measured the xla+device-BBH path and are not directly
+    # comparable without setting BENCH_BACKEND/BENCH_DEVICE_BBH.
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     use_device_bbh = os.environ.get("BENCH_DEVICE_BBH", "0") == "1"
     config = PipelineConfig(

@@ -89,43 +89,108 @@ def _max_collision_arrays(members, eu, ev, seq_genome) -> int:
     return int(coll.max(initial=0))
 
 
-def _split_component_native(
-    members, eu, ev, seq_genome
-) -> "List[List[int]] | None":
-    """Native one-level GN split + recursion (netclu_ng.py:101-115).
+def _plain_bfs_set(source: int, adj: dict) -> set:
+    """networkx ``_plain_bfs`` transcribed: returns the visited SET.
 
-    `eu`/`ev`: the component's edges in .net insertion order.  Node ids
-    are mapped to local indices by first appearance in the edge stream —
-    the same dict order networkx sees when netclu builds the full graph
-    from the .net file — so the native Brandes/argmax pass is bit-exact
-    with the networkx path."""
+    netclu passes the component set from ``connected_components`` straight
+    into ``Graph.subgraph`` (netclu_ng.py:103,147), and networkx 3.x
+    subgraph views iterate small member sets in the SET's own iteration
+    order — so the exact insertion sequence of this set (BFS level order
+    over pnet adjacency) is part of the output contract."""
+    seen = {source}
+    nextlevel = [source]
+    while nextlevel:
+        thislevel = nextlevel
+        nextlevel = []
+        for v in thislevel:
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    nextlevel.append(w)
+    return seen
+
+
+def _copy_scan_edges(view_order, adj, m_set=None):
+    """Edges in networkx ``Graph.copy()`` insertion order.
+
+    ``girvan_newman`` does not run on the subgraph view it is given: it
+    runs on ``view.copy().to_undirected()``, which rebuilds adjacency by
+    scanning nodes in view order and each node's view-adjacency (pnet
+    adjacency filtered to ``m_set``) in edge-insertion order, inserting
+    every undirected edge into BOTH endpoints' dicts at its first
+    encounter.  ``pt_gn_split`` builds adjacency by per-edge append, so
+    feeding it edges in this scan order reproduces the copy's adjacency —
+    and therefore Brandes' float accumulation order and the ``G.edges()``
+    first-max tie scan — bit-exactly.  (The second rebuild inside
+    ``to_undirected`` is an order no-op: one scan already leaves every
+    node's lower-position neighbours sorted by position ahead of its
+    higher-position neighbours in view-adjacency order.)"""
+    seen = set()
+    ou: List[int] = []
+    ov: List[int] = []
+    for u in view_order:
+        for v in adj[u]:
+            if m_set is not None and v not in m_set:
+                continue
+            key = (u, v) if u < v else (v, u)
+            if key not in seen:
+                seen.add(key)
+                ou.append(u)
+                ov.append(v)
+    return ou, ov
+
+
+def _split_colliding_native(
+    bunch, adj, comp_order, n_total, eu, ev, seq_genome
+) -> "List[List[int]] | None":
+    """One netclu ``split_until_max_k`` level (netclu_ng.py:101-115) via
+    the C++ Brandes core, mirroring networkx 3.x order semantics exactly:
+
+    - the member set girvan_newman sees is ``show_nodes`` =
+      ``set(nbunch_iter(bunch))`` — a fresh CPython set built by inserting
+      ``bunch``'s elements in ``bunch``'s own iteration order
+      (``Graph.subgraph``; ``bunch`` is the BFS component set at the top
+      level and netclu's ``sorted(c)`` list in recursion);
+    - the subgraph view iterates nodes in THAT set's iteration order when
+      ``2*len(members) < len(pnet)`` (``FilterAtlas.__iter__``'s
+      node_ok_shorter branch), else in pnet node-insertion order —
+      ``n_total`` is therefore the FULL graph's node count, threaded
+      through every recursion depth;
+    - the graph Brandes actually runs on is the view's copy, whose edge
+      order comes from ``_copy_scan_edges``."""
     from pandelos_tpu.native.loader import native_gn_split
 
-    stream = np.empty(2 * len(eu), dtype=np.int64)
-    stream[0::2] = eu
-    stream[1::2] = ev
-    _, first_idx = np.unique(stream, return_index=True)
-    node_order = stream[np.sort(first_idx)]
-    lid = {int(g): t for t, g in enumerate(node_order)}
-    leu = np.asarray([lid[int(u)] for u in eu], dtype=np.int32)
-    lev = np.asarray([lid[int(v)] for v in ev], dtype=np.int32)
-    labels = native_gn_split(len(node_order), leu, lev)
+    m_set: set = set()
+    for x in bunch:
+        m_set.add(x)
+    if 2 * len(m_set) < n_total:
+        view_order = list(m_set)  # CPython set iteration order
+    else:
+        view_order = [u for u in comp_order if u in m_set]
+    pos = {u: i for i, u in enumerate(view_order)}
+    ou, ov = _copy_scan_edges(view_order, adj, m_set)
+    leu = np.asarray([pos[u] for u in ou], dtype=np.int32)
+    lev = np.asarray([pos[v] for v in ov], dtype=np.int32)
+    labels = native_gn_split(len(view_order), leu, lev)
     if labels is None:
         return None
 
+    by_label: dict = {}
+    for i, u in enumerate(view_order):
+        by_label.setdefault(int(labels[i]), []).append(u)
     result: List[List[int]] = []
-    for lab in range(int(labels.max()) + 1):
-        com = node_order[labels == lab]
-        if _max_collision_arrays(com, eu, ev, seq_genome) > 0:
-            in_com = np.isin(eu, com) & np.isin(ev, com)
-            sub = _split_component_native(
-                com, eu[in_com], ev[in_com], seq_genome
+    for com in by_label.values():
+        com = sorted(com)  # netclu: sorted(c) before testing/recursing
+        com_a = np.asarray(com, dtype=np.int64)
+        if _max_collision_arrays(com_a, eu, ev, seq_genome) > 0:
+            sub = _split_colliding_native(
+                com, adj, comp_order, n_total, eu, ev, seq_genome
             )
             if sub is None:
                 return None
             result.extend(sub)
         else:
-            result.append(sorted(int(g) for g in com))
+            result.append(com)
     return result
 
 
@@ -160,6 +225,18 @@ def cluster_network(
     seen = np.zeros(n_sequences, dtype=bool)
     seen[ea] = True
     seen[eb] = True
+    # Global node insertion order: netclu adds cols[0] then cols[1] per
+    # line (netclu_ng.py:43-50), INCLUDING self-loop lines (which add the
+    # node but skip the edge) — a node's first appearance can be a
+    # self-loop, so the order is derived from the raw stream, not the
+    # loop-filtered one.
+    stream = np.empty(2 * len(ea), dtype=np.int64)
+    stream[0::2] = ea
+    stream[1::2] = eb
+    _, first_idx = np.unique(stream, return_index=True)
+    global_order = stream[np.sort(first_idx)]
+    order_rank = np.full(n_sequences, -1, dtype=np.int64)
+    order_rank[global_order] = np.arange(len(global_order))
     # Self-loops are skipped (netclu_ng.py:54); the lone node still joins
     # the graph (netclu_ng.py:48-50) and forms a 1-node component.
     ns = ea != eb
@@ -208,6 +285,9 @@ def cluster_network(
     comp_distr: dict = {}
     fam_distr: dict = {}
     remaining = np.ones(n_sequences, dtype=bool)
+    n_total = len(global_order)  # pnet node count, incl. self-loop-only
+    pnet_nx = None  # literal netclu graph, built lazily on native miss
+    coco_by_member: dict = {}
 
     for c in range(n_comp):
         lo, hi = node_starts[c], node_starts[c + 1]
@@ -220,22 +300,41 @@ def cluster_network(
             el, eh = edge_starts[c], edge_starts[c + 1]
             idx = order_e[el:eh]
             ceu, cev = ea2[idx], eb2[idx]
-            coms = _split_component_native(members, ceu, cev, seq_genome)
-            if coms is None:  # native core unavailable: networkx path
-                # insertion order must match netclu's full-graph dict
-                # order: nodes first appear inside their own component's
-                # edges, in .net order
-                stream = np.empty(2 * len(ceu), dtype=np.int64)
-                stream[0::2] = ceu
-                stream[1::2] = cev
-                _, fidx = np.unique(stream, return_index=True)
-                sub = nx.Graph()
-                sub.add_nodes_from(stream[np.sort(fidx)].tolist())
-                sub.add_weighted_edges_from(
-                    zip(ceu.tolist(), cev.tolist(), ew2[idx].tolist())
-                )
+            # members in netclu's full-graph dict order (first appearance
+            # may be a self-loop line, hence the global stream rank); the
+            # per-line double append restricted to this component IS
+            # pnet's adjacency for these nodes.
+            comp_order = members[np.argsort(order_rank[members])].tolist()
+            adj = {u: [] for u in comp_order}
+            for u, v in zip(ceu.tolist(), cev.tolist()):
+                adj[u].append(v)
+                adj[v].append(u)
+            # netclu's coco is the BFS set from connected_components,
+            # sourced at the first component member in pnet node order
+            coco = _plain_bfs_set(comp_order[0], adj)
+            coms = _split_colliding_native(
+                iter(coco), adj, comp_order, n_total, ceu, cev, seq_genome
+            )
+            if coms is None:  # native core unavailable: literal networkx
+                if pnet_nx is None:
+                    pnet_nx = nx.Graph()
+                    inodes: set = set()
+                    for a_, b_, w_ in zip(
+                        ea.tolist(), eb.tolist(), ew.tolist()
+                    ):
+                        if a_ not in inodes:
+                            inodes.add(a_)
+                            pnet_nx.add_node(a_)
+                        if b_ not in inodes and a_ != b_:
+                            inodes.add(b_)
+                            pnet_nx.add_node(b_)
+                        if a_ != b_:
+                            pnet_nx.add_edge(a_, b_, weight=w_)
+                            pnet_nx.add_edge(b_, a_, weight=w_)
+                    for coco_s in nx.connected_components(pnet_nx):
+                        coco_by_member[min(coco_s)] = coco_s
                 coms = _split_until_max_k(
-                    set(members.tolist()), sub, seq_genome
+                    coco_by_member[int(members.min())], pnet_nx, seq_genome
                 )
         else:
             coms = [sorted(members.tolist())]

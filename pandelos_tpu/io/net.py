@@ -12,9 +12,40 @@ Jaccard scores (0, 1].
 
 from __future__ import annotations
 
+from decimal import Decimal
 from typing import List, Tuple
 
 import numpy as np
+
+
+def java_double_str(v: float) -> str:
+    """Java ``Double.toString`` rendering of a double.
+
+    Python ``repr`` and Java both print the shortest decimal that
+    round-trips (for the f32-derived doubles scores are, the digit strings
+    agree), but the NOTATION switch differs: Java uses scientific form
+    outside [1e-3, 1e7) with a bare exponent (``4.8828125E-4``), Python
+    outside [1e-4, 1e16) with a padded one (``4.8828125e-05``).  Scores
+    below 1e-3 occur for long-gene pairs (score >= 1/union and union can
+    exceed 1000, library.cpp:496), so byte parity with PangeneNet.java:171
+    needs the Java rules."""
+    v = float(v)
+    if v != v or v in (float("inf"), float("-inf")):
+        return {float("inf"): "Infinity", float("-inf"): "-Infinity"}.get(
+            v, "NaN"
+        )
+    if v == 0.0:
+        return "-0.0" if str(v)[0] == "-" else "0.0"
+    a = abs(v)
+    if 1e-3 <= a < 1e7:
+        s = repr(v)
+        if "e" not in s:  # repr stays plain across this whole range
+            return s
+    sign, digits, exp = Decimal(repr(v)).as_tuple()
+    e10 = exp + len(digits) - 1
+    ds = "".join(map(str, digits)).rstrip("0") or "0"
+    mant = ds[0] + "." + (ds[1:] or "0")
+    return ("-" if sign else "") + f"{mant}E{e10}"
 
 
 def write_net(path: str, edges) -> None:
@@ -31,7 +62,7 @@ def write_net(path: str, edges) -> None:
         canon[(a, b)] = float(np.float32(s))
     with open(path, "w") as fh:
         for (a, b) in sorted(canon):
-            fh.write(f"{a}\t{b}\t{canon[(a, b)]!r}\n")
+            fh.write(f"{a}\t{b}\t{java_double_str(canon[(a, b)])}\n")
 
 
 def read_net(path: str) -> List[Tuple[int, int, float]]:

@@ -135,3 +135,69 @@ def brute_force_network(fcells, seq_genome, n_genomes):
                 add_edge(i, j, s)
 
     return edges
+
+
+def netclu_families(edges, seq_genome, n_sequences):
+    """Faithful networkx transcription of netclu_ng.py's clustering
+    (graph build :43-56, get_max_collision :79-96, split_until_max_k
+    :98-115, main loop :142-175).  Edge order matters: the graph is
+    built in the given order, exactly as netclu reads the .net file.
+    Returns (families, singletons); families are sorted member lists,
+    singletons are genes never placed in any family."""
+    import networkx as nx
+
+    pnet = nx.Graph()
+    inodes = set()
+    for a, b, w in edges:
+        a, b = int(a), int(b)
+        if a not in inodes:
+            inodes.add(a)
+            pnet.add_node(a)
+        if (b not in inodes) and (a != b):
+            inodes.add(b)
+            pnet.add_node(b)
+        if a != b:
+            pnet.add_edge(a, b, weight=float(w))
+            pnet.add_edge(b, a, weight=float(w))
+
+    def get_max_collision(coco, g):
+        collisions = {}
+        for s in coco:
+            collisions.setdefault(seq_genome[s], []).append(s)
+        max_k = 0
+        for v in collisions.values():
+            for s1 in v:
+                s_k = 0
+                for s2 in v:
+                    if s1 != s2 and not (
+                        g.has_edge(s1, s2) or g.has_edge(s2, s1)
+                    ):
+                        s_k += 1
+                if s_k > max_k:
+                    max_k = s_k
+        return max_k
+
+    def split_until_max_k(coco, g):
+        import networkx.algorithms.community.centrality as nxc
+
+        snet = g.subgraph(coco)
+        coms = tuple(sorted(c) for c in next(nxc.girvan_newman(snet)))
+        rcoms = []
+        for com in coms:
+            if get_max_collision(com, snet) > 0:
+                rcoms = rcoms + split_until_max_k(com, snet)
+            else:
+                rcoms.append(com)
+        return rcoms
+
+    remaining = set(range(n_sequences))
+    families = []
+    for coco in nx.algorithms.components.connected_components(pnet):
+        if get_max_collision(coco, pnet) > 0:
+            for com in split_until_max_k(coco, pnet):
+                families.append(sorted(int(x) for x in com))
+                remaining -= set(int(x) for x in com)
+        else:
+            families.append(sorted(int(x) for x in coco))
+            remaining -= set(int(x) for x in coco)
+    return families, sorted(remaining)

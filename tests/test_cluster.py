@@ -78,10 +78,15 @@ def test_recursive_split_deep():
 
 def test_native_gn_split_matches_networkx():
     """The C++ Girvan-Newman split must be bit-parity with networkx
-    (same Brandes accumulation order, same first-max tie rule)."""
+    (same Brandes accumulation order, same first-max tie rule).
+
+    girvan_newman runs on G.copy(), whose adjacency is rebuilt in
+    node-order scan order — so the native call goes through
+    _copy_scan_edges, exactly as cluster.py's production path does."""
     import networkx as nx
     import numpy as np
 
+    from pandelos_tpu.cluster import _copy_scan_edges
     from pandelos_tpu.native.loader import native_available, native_gn_split
 
     if not native_available():
@@ -110,11 +115,77 @@ def test_native_gn_split_matches_networkx():
         H.add_edges_from(edges)
         gn = nx.algorithms.community.centrality.girvan_newman(H)
         want = sorted(tuple(sorted(c)) for c in next(gn))
-        eu = np.array([lid[u] for u, v in edges], np.int32)
-        ev = np.array([lid[v] for u, v in edges], np.int32)
-        labels = native_gn_split(len(node_order), eu, ev)
+        adj = {i: [] for i in range(len(node_order))}
+        for u, v in edges:
+            adj[lid[u]].append(lid[v])
+            adj[lid[v]].append(lid[u])
+        ou, ov = _copy_scan_edges(list(range(len(node_order))), adj)
+        labels = native_gn_split(
+            len(node_order),
+            np.asarray(ou, np.int32),
+            np.asarray(ov, np.int32),
+        )
         got = {}
         for t, g in enumerate(node_order):
             got.setdefault(int(labels[t]), []).append(g)
         got = sorted(tuple(sorted(c)) for c in got.values())
         assert got == want, trial
+
+
+def _fuzz_graph(rng, with_self_loops=False):
+    """Random multi-genome edge list engineered so GN splits recurse."""
+    import networkx as nx
+
+    n = int(rng.integers(8, 26))
+    n_genomes = int(rng.integers(2, 4))
+    seq_genome = rng.integers(0, n_genomes, size=n).astype(np.int64)
+    G = nx.gnp_random_graph(
+        n, float(rng.uniform(0.12, 0.4)), seed=int(rng.integers(1 << 30))
+    )
+    edges = [
+        (u, v, round(float(rng.uniform(0.05, 1.0)), 3))
+        for u, v in G.edges()
+    ]
+    rng.shuffle(edges)
+    if with_self_loops and edges:
+        # a self-loop line adds its node to the graph early (netclu:48)
+        s = int(rng.integers(0, n))
+        edges.insert(int(rng.integers(0, len(edges))), (s, s, 1.0))
+    return edges, seq_genome, n
+
+
+def test_native_recursive_families_match_netclu_reference():
+    """Full family-partition parity (incl. recursive splits at depth>=2)
+    between the production native path and the literal netclu_ng.py
+    transcription.  This is the trace-level check ADVICE.md asked for:
+    adjacency rebuild order (Graph.copy) and recursion node order
+    (subgraph views keep parent order) both change Brandes float
+    accumulation and tie-breaking, so any divergence shows up as a
+    different partition on these dense-collision fuzz graphs."""
+    import pytest
+
+    from pandelos_tpu.native.loader import native_available
+    from tests.reference_impl import netclu_families
+
+    if not native_available():
+        pytest.skip("native core unavailable")
+
+    rng = np.random.default_rng(2026)
+    n_recursed = 0
+    for trial in range(40):
+        edges, seq_genome, n = _fuzz_graph(rng, with_self_loops=trial % 4 == 0)
+        if not edges:
+            continue
+        res = cluster_network(edges, seq_genome, n)
+        got = sorted(tuple(f) for f in res.families)
+        want_f, want_s = netclu_families(edges, seq_genome, n)
+        want = sorted(tuple(f) for f in want_f)
+        assert got == want, (trial, got, want)
+        assert res.singletons == want_s, trial
+        n_comps = len(res.component_size_distr) and sum(
+            res.component_size_distr.values()
+        )
+        if len(got) > n_comps:  # at least one component was GN-split
+            n_recursed += 1
+    # sanity: the fuzz actually exercised splitting, not just components
+    assert n_recursed > 10

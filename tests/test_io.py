@@ -72,3 +72,36 @@ def test_clus_lines_quirks(tmp_path):
 
 def test_clus_dedup():
     assert family_lines([["a", "b"], ["a", "b"]], []) == ["a b"]
+
+
+def test_java_double_str_notation_boundaries():
+    """Java Double.toString switches to scientific below 1e-3 and at 1e7
+    (PangeneNet.java writes scores via string concatenation); Python repr
+    switches at 1e-4 with a different exponent style, so the 1e-3/1e-4
+    band is where the formats must be proven to diverge correctly."""
+    from pandelos_tpu.io.net import java_double_str
+
+    f32 = lambda x: float(np.float32(x))
+    assert java_double_str(1.0) == "1.0"
+    assert java_double_str(0.001) == "0.001"
+    assert java_double_str(f32(0.5)) == "0.5"
+    # below 1e-3: scientific with bare exponent (Java), not 0.000...
+    assert java_double_str(f32(2.0 ** -11)) == "4.8828125E-4"
+    assert java_double_str(f32(1.0 / 1024)) == "9.765625E-4"
+    assert java_double_str(f32(1e-4)) == "9.999999747378752E-5"
+    assert java_double_str(f32(2.0 ** -20)) == "9.5367431640625E-7"
+    # boundary: exactly 1e-3 stays plain
+    assert java_double_str(f32(2.0 ** -10)) == "9.765625E-4"
+    assert java_double_str(0.0010000000474974513) == "0.0010000000474974513"
+    assert java_double_str(0.0) == "0.0"
+
+
+def test_write_net_sub_1e3_scores(tmp_path):
+    from pandelos_tpu.io.net import read_net, write_net
+
+    p = str(tmp_path / "x.net")
+    s = float(np.float32(2.0 ** -11))
+    write_net(p, [(3, 1, s), (0, 2, 0.25)])
+    lines = open(p).read().splitlines()
+    assert lines == ["0\t2\t0.25", "1\t3\t4.8828125E-4"]
+    assert read_net(p) == [(0, 2, 0.25), (1, 3, s)]

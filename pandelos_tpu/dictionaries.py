@@ -71,6 +71,32 @@ class KmerDictionary:
         self._cache: dict = {}
 
     # --- construction -------------------------------------------------
+    @staticmethod
+    def _key_dtype(k: int) -> np.dtype:
+        """uint64 for k <= 8; ceil(k/8) big-endian uint64 limbs beyond
+        (np.unique / argsort / searchsorted compare structured dtypes
+        field-by-field, i.e. lexicographically — arbitrary k supported,
+        where the reference's ELSA suffix array is k-agnostic by
+        construction)."""
+        if k <= 8:
+            return np.dtype(np.uint64)
+        n_limbs = (k + 7) // 8
+        return np.dtype([(f"l{i}", np.uint64) for i in range(n_limbs)])
+
+    def _pack(self, kmer_bytes: bytes, k: int):
+        """Scalar table key for a k-mer's bytes (len(kmer_bytes) == k)."""
+        if k <= 8:
+            key = 0
+            for ch in kmer_bytes:
+                key = (key << 8) | ch
+            return np.uint64(key)
+        n_limbs = (k + 7) // 8
+        pad = n_limbs * 8 - k
+        limbs = [0] * n_limbs
+        for j, ch in enumerate(kmer_bytes):
+            limbs[(j + pad) // 8] = (limbs[(j + pad) // 8] << 8) | ch
+        return np.array([tuple(limbs)], dtype=self._key_dtype(k))[0]
+
     def _table(self, k: int):
         """(sorted_keys, start_ptr, positions) for width k."""
         if k in self._cache:
@@ -80,21 +106,27 @@ class KmerDictionary:
         n = self.text.shape[0] - k + 1
         if n <= 0:
             empty = (
-                np.zeros(0, np.uint64),
+                np.zeros(0, self._key_dtype(k)),
                 np.zeros(1, np.int64),
                 np.zeros(0, np.int64),
             )
             self._cache[k] = empty
             return empty
-        if k > 8:
-            raise NotImplementedError(
-                "dictionary iteration supports k <= 8 packed keys"
-            )
-        keys = np.zeros(n, dtype=np.uint64)
-        for j in range(k):
-            keys = (keys << np.uint64(8)) | self.text[j : j + n].astype(
-                np.uint64
-            )
+        if k <= 8:
+            keys = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                keys = (keys << np.uint64(8)) | self.text[
+                    j : j + n
+                ].astype(np.uint64)
+        else:
+            n_limbs = (k + 7) // 8
+            pad = n_limbs * 8 - k
+            keys = np.zeros(n, dtype=self._key_dtype(k))
+            for j in range(k):
+                f = f"l{(j + pad) // 8}"
+                keys[f] = (keys[f] << np.uint64(8)) | self.text[
+                    j : j + n
+                ].astype(np.uint64)
         pos = np.arange(n, dtype=np.int64)
         # exclude windows crossing sequence boundaries (NELSA ns role)
         seq_of = np.searchsorted(self.offsets, pos, side="right") - 1
@@ -108,11 +140,19 @@ class KmerDictionary:
         self._cache[k] = table
         return table
 
-    def _decode(self, key: np.uint64, k: int) -> str:
+    def _decode(self, key, k: int) -> str:
+        if k <= 8:
+            key = int(key)
+            return "".join(
+                chr((key >> (8 * (k - 1 - j))) & 0xFF) for j in range(k)
+            )
+        n_limbs = (k + 7) // 8
+        pad = n_limbs * 8 - k
         chars = []
-        key = int(key)
         for j in range(k):
-            chars.append(chr((key >> (8 * (k - 1 - j))) & 0xFF))
+            limb = int(key[(j + pad) // 8])
+            shift = 8 * (7 - ((j + pad) % 8))
+            chars.append(chr((limb >> shift) & 0xFF))
         return "".join(chars)
 
     # --- iteration (IELSA contract) -----------------------------------
@@ -131,10 +171,12 @@ class KmerDictionary:
         k1 = parent.k + 1
         child = KmerDictionaryIterator(self, k1)
         uniq, _, _ = self._table(k1)
-        lo_key = np.uint64(int(parent._key()) << 8)
-        hi_key = np.uint64((int(parent._key()) + 1) << 8)
+        # the parent's refinement range is [kmer+0x00, kmer+0xff]
+        kb = parent.kmer().encode("latin-1")
+        lo_key = self._pack(kb + b"\x00", k1)
+        hi_key = self._pack(kb + b"\xff", k1)
         child._idx = int(np.searchsorted(uniq, lo_key, side="left"))
-        child._end = int(np.searchsorted(uniq, hi_key, side="left"))
+        child._end = int(np.searchsorted(uniq, hi_key, side="right"))
         return child
 
     # --- persistence --------------------------------------------------
@@ -217,9 +259,7 @@ class KmerDictionaryIterator:
         """Position at a specific k-mer; returns False when absent."""
         if len(kmer) != self.k:
             raise ValueError("kmer length mismatch")
-        key = np.uint64(0)
-        for ch in kmer.encode("latin-1"):
-            key = np.uint64((int(key) << 8) | ch)
+        key = self.dictionary._pack(kmer.encode("latin-1"), self.k)
         uniq, _, _ = self.dictionary._table(self.k)
         idx = int(np.searchsorted(uniq, key, side="left"))
         if idx < uniq.shape[0] and uniq[idx] == key:

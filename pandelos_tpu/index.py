@@ -151,25 +151,18 @@ def _window_keys(concat: np.ndarray, k: int, alphabet_codes: np.ndarray):
             keys *= base
             keys += coded[j : j + n]
         return keys
-    # Wide-k fallback: exact lexicographic identity via byte packing in two
-    # uint64 limbs (supports k <= 16 with byte codes; alphabet <= 256).
-    if k > 16:
-        raise NotImplementedError(
-            "k > 16 with alphabet^k overflow not supported (reference would "
-            "use the Rabin-Karp hash fallback, library.cpp:81-86)"
-        )
-    hi = np.zeros(n, dtype=np.uint64)
-    lo = np.zeros(n, dtype=np.uint64)
+    # Wide-k fallback: exact lexicographic identity via byte packing into
+    # ceil(k/8) big-endian uint64 limbs (alphabet <= 256, arbitrary k —
+    # the reference would switch to its Rabin-Karp hash here,
+    # library.cpp:81-86; exact packing is strictly stronger).  np.unique
+    # on the structured array compares field-by-field, so limb order ==
+    # lexicographic k-mer order.
+    n_limbs = (k + 7) // 8
+    pad = n_limbs * 8 - k
+    out = np.zeros(n, dtype=[(f"l{i}", np.uint64) for i in range(n_limbs)])
     for j in range(k):
-        c = coded[j : j + n]
-        if j < k - 8:
-            hi = hi * np.uint64(256) + c
-        else:
-            lo = lo * np.uint64(256) + c
-    # Combine into a structured array for sorting/unique.
-    out = np.empty(n, dtype=[("hi", np.uint64), ("lo", np.uint64)])
-    out["hi"] = hi
-    out["lo"] = lo
+        f = f"l{(j + pad) // 8}"
+        out[f] = out[f] * np.uint64(256) + coded[j : j + n]
     return out
 
 

@@ -48,6 +48,7 @@ def test_auto_sweep(tmp_path):
         seq_jump=20,
         seq_factor=2.0,
         max_rounds=3,
+        in_process=True,  # subprocess rusage covered by its own test
     )
     assert len(reports) >= 2
     assert all(r["check"]["identical"] for r in reports)
@@ -108,3 +109,22 @@ def test_cli_new_subcommands(tmp_path):
     sub = str(tmp_path / "sub.faa")
     assert main(["reinput", out, sub, "--max-sequences", "4"]) == 0
     assert main(["bench", sub, str(tmp_path / "b"), "--backend", "oracle"]) == 0
+
+
+def test_run_measured_subprocess(tmp_path):
+    """Per-run child-process rusage (manager.rs:79-98 semantics): the
+    child's memory_mb is its own peak, not this process's high-water."""
+    from pandelos_tpu.bench.harness import run_measured_subprocess
+    from pandelos_tpu.config import PipelineConfig
+
+    ds = generate(SynthSpec(n_genomes=2, n_families=6,
+                            singleton_per_genome=1,
+                            min_len=25, max_len=60, seed=5))
+    faa = str(tmp_path / "d.faa")
+    write_faa(faa, ds)
+    bench = run_measured_subprocess(
+        faa, str(tmp_path / "out"), PipelineConfig(backend="oracle")
+    )
+    assert bench.real_s > 0
+    assert 0 < bench.memory_mb < 4096
+    assert (tmp_path / "out.net").exists()

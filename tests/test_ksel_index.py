@@ -119,3 +119,43 @@ def test_index_save_load(tmp_path):
     np.testing.assert_array_equal(idx2.profile_ids, idx.profile_ids)
     np.testing.assert_array_equal(idx2.profile_counts, idx.profile_counts)
     np.testing.assert_array_equal(idx2.profile_ptr, idx.profile_ptr)
+
+
+def test_index_wide_k_overflow_matches_bruteforce():
+    """base^k > 2^64 forces the multi-limb exact path (the reference
+    switches to Rabin-Karp hashing there, library.cpp:81-86); k=12 over a
+    48-char alphabet exercises 2 limbs, k=20 over proteins 3 limbs.  The
+    native core returns -2 on overflow and build_index must fall through
+    to this path transparently."""
+    import string
+
+    rng = np.random.default_rng(11)
+    for k, letters in (
+        (12, string.ascii_letters[:48]),
+        (20, "ACDEFGHIKLMNPQRSTVWY"),
+    ):
+        assert len(letters) ** k >= 2 ** 64  # really the overflow regime
+        base = "".join(rng.choice(list(letters), size=k + 6))
+        seqs = []
+        for i in range(12):
+            # shared windows across genes so postings have >= 2 entries
+            s = base[i % 4 :] + "".join(
+                rng.choice(list(letters), size=int(rng.integers(0, 10)))
+            )
+            seqs.append(s)
+        seqs.append(letters[:5])  # shorter than k -> empty profile
+        ds = _tiny_ds(seqs, genomes=[i % 3 for i in range(len(seqs))])
+        idx = build_index(ds, k=k)
+
+        shared = shared_multisets(seqs, k)
+        all_shared = sorted({km for m in shared for km in m})
+        assert idx.vocab_size == len(all_shared)
+        assert idx.vocab_size > 0  # the planted overlap survived
+        id_of = {km: i for i, km in enumerate(all_shared)}
+        for i in range(len(seqs)):
+            ids, counts = idx.profile(i)
+            got = dict(zip(ids.tolist(), counts.tolist()))
+            want = {id_of[km]: c for km, c in shared[i].items()}
+            assert got == want
+        full = kmer_multisets(seqs, k)
+        assert idx.total_vocab == len({km for m in full for km in m})

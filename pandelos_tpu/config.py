@@ -48,7 +48,9 @@ class PipelineConfig:
     device_bbh: bool = False
 
     # --- parallelism
-    # Number of devices to shard the row (gene) axis over; None -> all.
+    # Number of devices to shard the row-block axis of the scoring mesh
+    # over.  None -> 1 device in a single-process runtime, every global
+    # device under jax.distributed (multi-host).
     n_devices: Optional[int] = None
     mesh_axis: str = "rows"
 

@@ -341,98 +341,312 @@ def _host_fallback_rows(index: KmerIndex, rows) -> ScoreCells:
     )
 
 
-class BlockRunner:
-    """Dispatches `_candidate_blocks` bucket scans across one or more
-    devices — the TPU analogue of the reference's one-thread-per-genome
-    pool (Pangenes.java:54-64): row-block ranges are embarrassingly
-    parallel over a read-only index, so each device gets a contiguous
-    slice of the scan and runs asynchronously; results are concatenated
-    in order on host."""
+def _resolve_n_devices(config) -> int:
+    """``config.n_devices`` or the default: every global device under a
+    multi-process (jax.distributed) runtime, one device otherwise."""
+    if config.n_devices is not None:
+        return config.n_devices
+    if jax.process_count() > 1:
+        return len(jax.devices())
+    return 1
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+# Module-level program cache: the jitted shard_map programs are shared by
+# every MeshRunner with an equal mesh + statics (per-instance closures
+# would defeat jax's jit cache and re-pay each compile per dataset).
+_PROGRAM_CACHE: dict = {}
+
+
+def _extract_program(mesh, axis: str, row_block: int, w_row: int,
+                     cand_cap: int, n_true: int, k2: int,
+                     do_join: bool, upper_only: bool):
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+
+    key = ("ex", mesh, axis, row_block, w_row, cand_cap, n_true, k2,
+           do_join, upper_only)
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is not None:
+        return fn
+    local = _ft.partial(
+        _candidate_blocks,
+        row_block=row_block,
+        w_row=w_row,
+        cand_cap=cand_cap,
+        n_true=n_true,
+        k2=k2,
+        do_join=do_join,
+        upper_only=upper_only,
+    )
+    if do_join:
+        out_specs = (
+            P(axis, None),          # grow
+            P(axis, None, None),    # cand
+            P(axis, None, None),    # inter
+            P(axis, None, None),    # perc
+            P(axis, None, None),    # tr
+            P(axis, None, None),    # valid
+            P(axis, None),          # counts
+        )
+    else:
+        out_specs = (
+            P(axis, None),
+            P(axis, None, None),
+            P(axis, None),
+        )
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(None, None),  # all_ids
+                P(None, None),  # all_counts
+                P(None, None),  # signatures
+                P(None),        # col_lens
+                P(None),        # profile widths
+                P(None),        # perm
+                P(axis),        # starts (sharded)
+            ),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+    _PROGRAM_CACHE[key] = fn
+    return fn
+
+
+def _flatten_join_program(mesh, axis: str, pair_cap: int, chunk: int,
+                          w_pad: int, interpret: bool):
+    from jax.sharding import PartitionSpec as P
+
+    from pandelos_tpu.ops.pallas_join import join_pairs_core
+
+    key = ("fj", mesh, axis, pair_cap, chunk, w_pad, interpret)
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def local(grow_l, cand_l, counts_l, all_pair, col_lens, pad_gene, k2f):
+        K = cand_l.shape[-1]
+        gf = grow_l.reshape(-1)
+        cf = cand_l.reshape(-1, K)
+        nf = counts_l.reshape(-1)
+        nf = jnp.where(nf > K, 0, nf)  # overflow rows: host rerun
+        cs = jnp.cumsum(nf)
+        total = cs[-1]
+        p = jnp.arange(pair_cap, dtype=jnp.int32)
+        r = jnp.searchsorted(cs, p, side="right").astype(jnp.int32)
+        r_safe = jnp.minimum(r, gf.shape[0] - 1)
+        base = jnp.where(r_safe > 0, cs[jnp.maximum(r_safe - 1, 0)], 0)
+        s = jnp.clip(p - base, 0, K - 1)
+        ok = p < total
+        pi = jnp.where(ok, gf[r_safe], pad_gene).astype(jnp.int32)
+        pj = jnp.where(ok, cf[r_safe, s], pad_gene).astype(jnp.int32)
+        inter, perc, tr = join_pairs_core(
+            all_pair, pi, pj, w_pad=w_pad, chunk=chunk,
+            interpret=interpret,
+        )
+        valid = (inter > 0) & (
+            (k2f * perc >= col_lens[pi]) | (k2f * tr >= col_lens[pj])
+        )
+        return pi, pj, inter, perc, tr, valid
+
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(axis, None),
+                P(axis, None, None),
+                P(axis, None),
+                P(None, None),
+                P(None),
+                P(),
+                P(),
+            ),
+            out_specs=(P(axis),) * 6,
+            check_vma=False,
+        )
+    )
+    _PROGRAM_CACHE[key] = fn
+    return fn
+
+
+class MeshRunner:
+    """One ``shard_map`` formulation of the candidate engine serving a
+    single chip, N local chips, and N hosts (``jax.distributed``) — the
+    TPU analogue of the reference's one-thread-per-genome pool
+    (``Pangenes.java:54-64``).
+
+    Row-block starts are sharded over the mesh's ``rows`` axis
+    (round-robin over the width-sorted block list for load balance);
+    profiles and signatures are replicated.  The flatten+join program
+    turns each shard's (cand, counts) extraction output into a compact
+    on-device pair list (cumsum + searchsorted — no host ``np.nonzero``,
+    no [rows, K] fetch) and feeds it straight into the Pallas
+    compare-and-rotate kernel, fusing the validity threshold into the
+    output.  Only the final per-pair records cross the host link.
+    """
 
     def __init__(self, index: KmerIndex, padded, sig_mass, config):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
         G_pad = padded.ids.shape[0]
-        n_dev = config.n_devices or 1
-        devices = jax.devices()[: max(1, n_dev)]
-        self.devices = devices
         self.index = index
         self.G = index.n_sequences
+        self.k2 = 2 * index.k
+        self.w_pad = padded.width
+        self.G_pad = G_pad
+        n_dev = max(1, _resolve_n_devices(config))
+        self.n_dev = n_dev
+        self.axis = config.mesh_axis
+        self.mesh = Mesh(np.asarray(jax.devices()[:n_dev]), (self.axis,))
+        self._P = P
+        self._NS = NamedSharding
+
         lens_pad = np.zeros(G_pad, dtype=np.float32)
         lens_pad[: self.G] = index.kseq_lengths
         width_pad = np.zeros(G_pad, dtype=np.int32)
         width_pad[: self.G] = np.diff(index.profile_ptr)
-        if len(devices) <= 1:
-            self.reps = [
-                (
-                    jnp.asarray(padded.ids),
-                    jnp.asarray(padded.counts),
-                    sig_mass,
-                    jnp.asarray(lens_pad),
-                    jnp.asarray(width_pad),
-                )
-            ]
-        else:
-            self.reps = [
-                (
-                    jax.device_put(padded.ids, d),
-                    jax.device_put(padded.counts, d),
-                    jax.device_put(sig_mass, d),
-                    jax.device_put(lens_pad, d),
-                    jax.device_put(width_pad, d),
-                )
-                for d in devices
-            ]
 
-    def run(self, perm_ext, starts, row_block, w_row, cand_cap,
-            do_join=True, upper_only=False):
-        """Run a bucket's starts across devices.  Returns numpy outputs
-        (grow, cand, inter, perc, tr, valid, counts) flattened over
-        blocks*rows in starts order (padded blocks emit inert rows)."""
-        n_dev = len(self.reps)
-        chunks = np.array_split(starts, n_dev) if n_dev > 1 else [starts]
-        pending = []
-        for di, (rep, chunk) in enumerate(zip(self.reps, chunks)):
-            if len(chunk) == 0:
-                continue
-            n2 = 1
-            while n2 < len(chunk):
-                n2 *= 2
-            chunk_ext = np.concatenate(
-                [chunk, np.full(n2 - len(chunk), len(perm_ext) - row_block,
-                                dtype=np.int32)]
-            )
-            all_ids, all_counts, sig, col_lens, width_pad = rep
-            perm_dev = (
-                jax.device_put(perm_ext, self.devices[di])
-                if n_dev > 1
-                else jnp.asarray(perm_ext)
-            )
-            starts_dev = (
-                jax.device_put(chunk_ext, self.devices[di])
-                if n_dev > 1
-                else jnp.asarray(chunk_ext)
-            )
-            outs = _candidate_blocks(
-                all_ids,
-                all_counts,
-                sig,
-                col_lens,
-                width_pad,
-                perm_dev,
-                starts_dev,
-                row_block=row_block,
-                w_row=w_row,
-                cand_cap=cand_cap,
-                n_true=self.G,
-                k2=2 * self.index.k,
-                do_join=do_join,
-                upper_only=upper_only,
-            )
-            pending.append((outs, len(chunk)))
-        collected = []
-        for (outs, n_real) in pending:
-            host = [np.asarray(o) for o in outs]
-            collected.append([h[:n_real] for h in host])
-        return [np.concatenate(parts) for parts in zip(*collected)]
+        self.all_ids = self._replicate(padded.ids)
+        self.all_counts = self._replicate(padded.counts)
+        self.sig = self._replicate(sig_mass)
+        self.col_lens = self._replicate(lens_pad)
+        self.width = self._replicate(width_pad)
+        self._all_pair = None
+
+    # --- placement helpers ---------------------------------------------
+    def _replicate(self, arr):
+        spec = self._P(*([None] * arr.ndim))
+        return jax.device_put(arr, self._NS(self.mesh, spec))
+
+    def _shard0(self, arr):
+        spec = self._P(self.axis, *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, self._NS(self.mesh, spec))
+
+    def fetch(self, arr) -> np.ndarray:
+        """Global sharded array -> host numpy (multi-process safe)."""
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        spec = self._P(*([None] * arr.ndim))
+        rep = jax.jit(
+            lambda x: x, out_shardings=self._NS(self.mesh, spec)
+        )(arr)
+        return np.asarray(rep.addressable_data(0))
+
+    @property
+    def all_pair(self):
+        """Replicated packed [G_pad, 2W] (ids || counts) for the join —
+        concatenated ON device (never re-crosses the host link)."""
+        if self._all_pair is None:
+            spec = self._P(None, None)
+            self._all_pair = jax.jit(
+                lambda a, b: jnp.concatenate([a, b], axis=1),
+                out_shardings=self._NS(self.mesh, spec),
+            )(self.all_ids, self.all_counts)
+        return self._all_pair
+
+    # --- extraction ------------------------------------------------------
+    def _pad_starts(self, starts: np.ndarray, inert: int):
+        """Round-robin global starts layout: original block t goes to
+        position (t % n_dev) * S + (t // n_dev), so every shard gets an
+        even mix of the width spectrum; padding is the inert start
+        (an all-padding block that emits zero candidates)."""
+        n = len(starts)
+        S = _next_pow2(max(1, -(-n // self.n_dev)))
+        sg = np.full(S * self.n_dev, inert, dtype=np.int32)
+        t = np.arange(n)
+        sg[(t % self.n_dev) * S + t // self.n_dev] = starts
+        return sg
+
+    def extract(
+        self, perm_ext, starts, row_block, w_row, cand_cap,
+        do_join=True, upper_only=False,
+    ):
+        """Run one extraction pass with starts sharded over the mesh.
+        Returns the shard_map outputs as GLOBAL (device-resident) arrays
+        with leading block axis [S * n_dev]; inert padded blocks emit
+        rows with grow == G (filtered by every consumer)."""
+        sg = self._pad_starts(np.asarray(starts, np.int32),
+                              len(perm_ext) - row_block)
+        fn = _extract_program(
+            self.mesh, self.axis, row_block, w_row, cand_cap,
+            self.G, self.k2, do_join, upper_only,
+        )
+        return fn(
+            self.all_ids,
+            self.all_counts,
+            self.sig,
+            self.col_lens,
+            self.width,
+            self._replicate(np.asarray(perm_ext, np.int32)),
+            self._shard0(sg),
+        )
+
+    def extract_fetched(self, *args, **kwargs):
+        """extract() + fetch every output to host numpy."""
+        return [self.fetch(o) for o in self.extract(*args, **kwargs)]
+
+    # --- fused flatten + Pallas join + validity ---------------------------
+    def flatten_join(
+        self, grow, cand, counts, cand_cap: int, pair_cap: int, chunk: int,
+    ):
+        """Per shard: compact the (cand, counts) extraction output into a
+        flat pair list (slot p -> row r by searchsorted over the cumsum of
+        per-row candidate counts), join every pair with the Pallas kernel,
+        and fuse the reference's validity threshold (library.cpp:499-500,
+        exact integer form).  Overflowing rows (counts > cand_cap) emit
+        nothing here — the host reruns them at a larger cap.
+
+        Returns global [n_dev * pair_cap] arrays
+        (pi, pj, inter, perc, tr, valid); padding slots carry pi == G.
+        """
+        interpret = jax.default_backend() == "cpu"
+        fn = _flatten_join_program(
+            self.mesh, self.axis, pair_cap, chunk, self.w_pad, interpret
+        )
+        return fn(
+            grow, cand, counts, self.all_pair, self.col_lens,
+            jnp.int32(self.G), jnp.float32(self.k2),
+        )
+
+    def pair_capacity(self, counts_h: np.ndarray, cand_cap: int):
+        """(pair_cap, chunk) for flatten_join from the fetched per-row
+        candidate counts [S * n_dev * R]: the max per-shard total, rounded
+        to a power of two (bounded program variants), with the join chunk
+        capped at the Pallas expansion budget."""
+        from pandelos_tpu.ops.pallas_join import _CHUNK, _PAIR_BLOCK
+
+        nf = np.where(counts_h > cand_cap, 0, counts_h)
+        per_shard = nf.reshape(self.n_dev, -1).sum(axis=1, dtype=np.int64)
+        worst = int(per_shard.max(initial=0))
+        if worst >= 2**31:
+            raise ValueError("pair list exceeds int32 indexing")
+        interpret = jax.default_backend() == "cpu"
+        full = _CHUNK if not interpret else 256
+        pair_cap = _next_pow2(max(worst, _PAIR_BLOCK))
+        chunk = min(full, pair_cap)
+        return pair_cap, chunk
+
+
+def get_runner(index: KmerIndex, padded, sig_mass, config) -> MeshRunner:
+    """Cached MeshRunner for (padded shapes, device count)."""
+    rkey = ("runner", padded.ids.shape, _resolve_n_devices(config))
+    cache = index._pad_cache  # populated by pad_profiles
+    runner = cache.get(rkey)
+    if runner is None:
+        runner = MeshRunner(index, padded, sig_mass, config)
+        cache[rkey] = runner
+    return runner
 
 
 def compute_cells_candidate(
@@ -442,7 +656,9 @@ def compute_cells_candidate(
 
     The exact stage runs either as the in-scan XLA equality join or,
     with ``config.backend == "pallas"``, as the compare-and-rotate
-    Pallas kernel (ops/pallas_join.py) over all extracted candidates.
+    Pallas kernel (ops/pallas_join.py) over all extracted candidates —
+    fully on device (extraction, pair flattening, join and validity are
+    one mesh program pair; only per-pair records cross the host link).
 
     Note: unlike the oracle, only cells passing the validity threshold
     are returned (plus any cell the bound could not exclude) — invalid
@@ -464,124 +680,70 @@ def compute_cells_candidate(
     K = config.candidate_cap
 
     sig_mass, _, _ = build_signatures(index, padded, config)
-    rkey = ("runner", padded.ids.shape, config.n_devices or 1)
-    cache = index._pad_cache  # populated by pad_profiles
-    runner = cache.get(rkey)
-    if runner is None:
-        runner = BlockRunner(index, padded, sig_mass, config)
-        cache[rkey] = runner
+    runner = get_runner(index, padded, sig_mass, config)
 
     widths = np.diff(index.profile_ptr)
 
     r_out, c_out, i_out, p_out, t_out = [], [], [], [], []
     overflow_rows = []
-    pallas_parts = []  # (grow, cand, counts) per bucket when use_pallas
 
-    for w_row, perm_pad, starts in _width_buckets(
-        widths, row_block, padded.width
-    ):
+    import os
+    import time
+
+    _trace = os.environ.get("PT_TIMING") == "1"
+    _t0 = time.monotonic()
+
+    if use_pallas:
+        # One extraction program for the whole dataset: the Pallas join
+        # derives its per-pair loop bounds from the data, so width
+        # bucketing buys nothing here and would only multiply compiled
+        # program variants (r1 cold start was ~109s of compiles).  The
+        # width-sorted permutation is kept for gather locality.
+        perm = np.argsort(widths, kind="stable").astype(np.int32)
+        n_blocks = -(-G // row_block)
+        perm_pad = np.full(n_blocks * row_block, G, dtype=np.int32)
+        perm_pad[:G] = perm
         perm_ext = np.concatenate(
             [perm_pad, np.full(row_block, G, dtype=np.int32)]
         )
-        outs = runner.run(
-            perm_ext, starts, row_block, w_row, K,
-            do_join=not use_pallas, upper_only=use_pallas,
+        starts = np.arange(0, n_blocks * row_block, row_block, np.int32)
+        grow_d, cand_d, counts_d = runner.extract(
+            perm_ext, starts, row_block, padded.width, K,
+            do_join=False, upper_only=True,
         )
-        if use_pallas:
-            grow, cand, counts = outs
-        else:
-            grow, cand, inter, perc, tr, valid, counts = outs
-        grow = grow.reshape(-1)  # [n_blocks * R]
-        counts = counts.reshape(-1)
-        cand = cand.reshape(-1, K)
-
-        over = (counts > K) & (grow < G)
-        overflow_rows.extend(zip(grow[over].tolist(), counts[over].tolist()))
-        ok = ~over
-
-        if use_pallas:
-            pallas_parts.append((grow, cand, np.where(ok, counts, 0)))
-            continue
-
-        valid = valid.reshape(-1, K)
-        inter = inter.reshape(-1, K)
-        perc = perc.reshape(-1, K)
-        tr = tr.reshape(-1, K)
-
-        vmask = valid & ok[:, None]
-        rr = np.broadcast_to(grow[:, None], cand.shape)[vmask]
-        r_out.append(rr.astype(np.int32))
-        c_out.append(cand[vmask].astype(np.int32))
-        i_out.append(inter[vmask].astype(np.int64))
-        p_out.append(perc[vmask].astype(np.int64))
-        t_out.append(tr[vmask].astype(np.int64))
-
-    if use_pallas and pallas_parts:
-        import jax
-
-        from pandelos_tpu.ops.pallas_join import join_pairs
-
-        import os
-        import time
-
-        _trace = os.environ.get("PT_TIMING") == "1"
-        _t0 = time.monotonic()
-
-        grow_all = np.concatenate([p[0] for p in pallas_parts])
-        cand_all = np.concatenate([p[1] for p in pallas_parts])
-        cnt_all = np.concatenate([p[2] for p in pallas_parts])
-        # clip counts to the cap: overflow rows were zeroed above and
-        # rerun through the overflow path below
-        cnt_all = np.minimum(cnt_all, K).astype(np.int32)
-        grow_all = np.minimum(grow_all, G).astype(np.int32)
-
-        # flat (i, j) pair list — no [rows, K] materialization
-        have = (
-            np.arange(K, dtype=np.int32)[None, :] < cnt_all[:, None]
+        counts_h = runner.fetch(counts_d).reshape(-1)
+        grow_h = runner.fetch(grow_d).reshape(-1)
+        over = (counts_h > K) & (grow_h < G)
+        overflow_rows.extend(
+            zip(grow_h[over].tolist(), counts_h[over].tolist())
         )
-        rpos, spos = np.nonzero(have)
-        pi = grow_all[rpos]
-        pj = cand_all[rpos, spos]
-
+        pair_cap, chunk = runner.pair_capacity(counts_h, K)
         if _trace:
-            print(f"[pt] extract+hostprep: {time.monotonic()-_t0:.2f}s "
-                  f"pairs={len(pi)}", flush=True)
+            print(
+                f"[pt] extract: {time.monotonic()-_t0:.2f}s "
+                f"pairs<={pair_cap}x{runner.n_dev}", flush=True,
+            )
+            _t0 = time.monotonic()
+        pi_d, pj_d, inter_d, perc_d, tr_d, valid_d = runner.flatten_join(
+            grow_d, cand_d, counts_d, K, pair_cap, chunk
+        )
+        pi = runner.fetch(pi_d)
+        keep = pi < G
+        pi = pi[keep]
+        pj = runner.fetch(pj_d)[keep]
+        vmask = runner.fetch(valid_d)[keep]
+        inter = runner.fetch(inter_d)[keep]
+        perc = runner.fetch(perc_d)[keep]
+        tr = runner.fetch(tr_d)[keep]
+        if _trace:
+            print(
+                f"[pt] flatten+join+fetch: {time.monotonic()-_t0:.2f}s "
+                f"pairs={len(pi)}", flush=True,
+            )
             _t0 = time.monotonic()
 
-        pkey = ("all_pair", padded.ids.shape, len(runner.reps))
-        all_pair = cache.get(pkey)
-        if all_pair is None:
-            all_pair = [
-                jnp.concatenate([rep[0], rep[1]], axis=1)
-                for rep in runner.reps
-            ]
-            cache[pkey] = all_pair
-        inter, perc, tr = join_pairs(
-            all_pair,
-            pi,
-            pj,
-            widths,
-            w_pad=padded.width,
-            pad_gene=G,
-            interpret=jax.default_backend() == "cpu",
-            assume_unique=True,  # upper-only extraction: i < j always
-        )
-
-        if _trace:
-            print(f"[pt] join_pairs: {time.monotonic()-_t0:.2f}s",
-                  flush=True)
-            _t0 = time.monotonic()
-
-        # validity (exact integer form of the 1/(2k) threshold), in f32
-        # like the device path — all quantities are integers < 2^24.
-        # The threshold is direction-symmetric, so the upper-triangle
-        # cells mirror with perc/tr exchanged.
-        lens_pad = np.zeros(G_pad + 1, dtype=np.float32)
-        lens_pad[:G] = index.kseq_lengths
-        k2 = np.float32(2 * index.k)
-        vmask = (inter > 0) & (
-            (k2 * perc >= lens_pad[pi]) | (k2 * tr >= lens_pad[pj])
-        )
+        # mirror the upper-triangle cells (perc/tr exchange: the validity
+        # threshold is direction-symmetric, library.cpp:499-500)
         vi = pi[vmask].astype(np.int32)
         vj = pj[vmask].astype(np.int32)
         vinter = inter[vmask].astype(np.int64)
@@ -592,6 +754,41 @@ def compute_cells_candidate(
         i_out.append(np.concatenate([vinter, vinter]))
         p_out.append(np.concatenate([vperc, vtr]))
         t_out.append(np.concatenate([vtr, vperc]))
+    else:
+        for w_row, perm_pad, starts in _width_buckets(
+            widths, row_block, padded.width
+        ):
+            perm_ext = np.concatenate(
+                [perm_pad, np.full(row_block, G, dtype=np.int32)]
+            )
+            grow, cand, inter, perc, tr, valid, counts = (
+                runner.extract_fetched(
+                    perm_ext, starts, row_block, w_row, K,
+                    do_join=True, upper_only=False,
+                )
+            )
+            grow = grow.reshape(-1)  # [n_blocks * R]
+            counts = counts.reshape(-1)
+            cand = cand.reshape(-1, K)
+
+            over = (counts > K) & (grow < G)
+            overflow_rows.extend(
+                zip(grow[over].tolist(), counts[over].tolist())
+            )
+            ok = ~over
+
+            valid = valid.reshape(-1, K)
+            inter = inter.reshape(-1, K)
+            perc = perc.reshape(-1, K)
+            tr = tr.reshape(-1, K)
+
+            vmask = valid & ok[:, None]
+            rr = np.broadcast_to(grow[:, None], cand.shape)[vmask]
+            r_out.append(rr.astype(np.int32))
+            c_out.append(cand[vmask].astype(np.int32))
+            i_out.append(inter[vmask].astype(np.int64))
+            p_out.append(perc[vmask].astype(np.int64))
+            t_out.append(tr[vmask].astype(np.int64))
 
     if overflow_rows:
         by_row = {}
@@ -610,9 +807,11 @@ def compute_cells_candidate(
             starts2 = np.arange(
                 0, len(perm2) - row_block, row_block, dtype=np.int32
             )
-            grow, cand, inter, perc, tr, valid, counts = runner.run(
-                perm2, starts2, row_block, padded.width, K2,
-                upper_only=use_pallas,
+            grow, cand, inter, perc, tr, valid, counts = (
+                runner.extract_fetched(
+                    perm2, starts2, row_block, padded.width, K2,
+                    do_join=True, upper_only=use_pallas,
+                )
             )
             grow = grow.reshape(-1)
             valid = valid.reshape(-1, K2)

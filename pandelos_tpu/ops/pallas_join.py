@@ -53,7 +53,13 @@ _PAIR_BLOCK = 128  # pairs per grid step
 _CHUNK = 1 << 16  # pairs per gather chunk (2 x ~512MB expanded at W=1024)
 
 
-def _make_kernel(w_pad: int):
+def _make_kernel(w_pad: int, interpret: bool = False):
+    """``interpret`` swaps the 128-step statically-unrolled roll loop
+    (needed for Mosaic latency on real TPU — see the module docstring)
+    for a ``fori_loop`` with a dynamic ``jnp.roll``: the same exact
+    integer accumulation (all values < 2^24 in f32, so the changed add
+    order is value-identical), but a ~100x smaller graph — interpret-mode
+    XLA-CPU compiles in seconds instead of ~50s per shape variant."""
     W = w_pad
     n_oct = _PAIR_BLOCK // _OCT
 
@@ -89,6 +95,24 @@ def _make_kernel(w_pad: int):
                     a_cnt = a_blk[
                         sl, pl.ds(W + ai * _LANE, _LANE)
                     ].astype(jnp.float32)
+
+                    if interpret:
+                        def roll_step(s, acc):
+                            i_a, p_a, t_a = acc
+                            rb_ids = jnp.roll(b_ids, s, axis=1)
+                            rb_cnt = jnp.roll(b_cnt, s, axis=1)
+                            eq = a_ids == rb_ids
+                            return (
+                                i_a + jnp.where(
+                                    eq, jnp.minimum(a_cnt, rb_cnt), 0.0
+                                ),
+                                p_a + jnp.where(eq, a_cnt, 0.0),
+                                t_a + jnp.where(eq, rb_cnt, 0.0),
+                            )
+
+                        return jax.lax.fori_loop(
+                            0, _LANE, roll_step, (inter_a, perc_a, tr_a)
+                        )
 
                     # static independent rolls from the base tile with a
                     # 4-way interleaved accumulator per counter.  An
@@ -156,10 +180,7 @@ def _make_kernel(w_pad: int):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("w_pad", "chunk", "interpret")
-)
-def _join_pairs_device(
+def join_pairs_core(
     all_pair,  # int32 [G_pad, 2W] packed profiles (ids || counts)
     a_idx,  # int32 [P] (P a multiple of `chunk`)
     b_idx,  # int32 [P]
@@ -169,10 +190,14 @@ def _join_pairs_device(
 ):
     """Exact counters per pair: (inter, perc, tr) f32 [P] with perc
     relative to the a-side.  Expands profile rows chunk-by-chunk with
-    XLA gathers and runs the Pallas join on each chunk."""
+    XLA gathers and runs the Pallas join on each chunk.
+
+    Unjitted traceable core — callable from inside ``shard_map`` (the
+    mesh engine's fused flatten+join program) as well as via the jitted
+    :func:`_join_pairs_device` wrapper."""
     P = a_idx.shape[0]
     n_chunks = P // chunk
-    kernel = _make_kernel(w_pad)
+    kernel = _make_kernel(w_pad, interpret)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -215,6 +240,15 @@ def _join_pairs_device(
 
     z = jnp.zeros((P,), jnp.float32)
     return jax.lax.fori_loop(0, n_chunks, body, (z, z, z))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w_pad", "chunk", "interpret")
+)
+def _join_pairs_device(all_pair, a_idx, b_idx, w_pad, chunk, interpret=False):
+    return join_pairs_core(
+        all_pair, a_idx, b_idx, w_pad=w_pad, chunk=chunk, interpret=interpret
+    )
 
 
 def join_pairs(

@@ -24,10 +24,7 @@ def main():
 
     from pandelos_tpu.config import PipelineConfig
     from pandelos_tpu.index import KmerIndex
-    from pandelos_tpu.ops.candidate import (
-        BlockRunner,
-        build_signatures,
-    )
+    from pandelos_tpu.ops.candidate import build_signatures, get_runner
     from pandelos_tpu.ops.score import _width_buckets, pad_profiles
 
     cache = os.path.join(
@@ -40,7 +37,7 @@ def main():
     padded = pad_profiles(index, row_block, 512)
     sig, B, shift = build_signatures(index, padded, cfg)
     jax.block_until_ready(sig)
-    runner = BlockRunner(index, padded, sig, cfg)
+    runner = get_runner(index, padded, sig, cfg)
     widths = np.diff(index.profile_ptr)
 
     def one_pass():
@@ -51,8 +48,8 @@ def main():
             perm_ext = np.concatenate(
                 [perm_pad, np.full(row_block, G, dtype=np.int32)]
             )
-            outs = runner.run(perm_ext, starts, row_block, w_row, cap,
-                              do_join=False)
+            outs = runner.extract_fetched(
+                perm_ext, starts, row_block, w_row, cap, do_join=False)
             grow = outs[0].reshape(-1)
             counts = outs[2].reshape(-1)
             keep = grow < G

@@ -53,11 +53,7 @@ def main():
 
     import jax
 
-    from pandelos_tpu.ops.candidate import (
-        BlockRunner,
-        build_signatures,
-        _candidate_blocks,
-    )
+    from pandelos_tpu.ops.candidate import build_signatures
     from pandelos_tpu.ops.score import _round_up, _width_buckets, pad_profiles
 
     cfg = PipelineConfig(row_block=row_block, col_block=col_block,

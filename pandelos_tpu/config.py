@@ -43,9 +43,11 @@ class PipelineConfig:
     # Max candidate columns per row on device; rows exceeding it fall back
     # to the exact host posting walk.
     candidate_cap: int = 128
-    # Run the BBH network construction on device (ships only edges over
-    # the host link); falls back to the host path on candidate overflow.
-    device_bbh: bool = False
+    # Run the BBH network construction on device (ships only accepted
+    # cells over the host link); falls back to the host path on
+    # pathological candidate overflow.  None -> on for real accelerator
+    # backends (the tunnel is the bottleneck there), off on CPU.
+    device_bbh: Optional[bool] = None
 
     # --- parallelism
     # Number of devices to shard the row-block axis of the scoring mesh

@@ -1,26 +1,35 @@
-"""Full-device BBH network construction.
+"""Full-device BBH network construction over the scoring mesh.
 
 Phase 2 of the candidate engine: instead of shipping every valid cell to
-the host (~60MB over a ~33MB/s remote-TPU tunnel), run the reference's
+the host (~20-60MB over a ~33MB/s remote-TPU tunnel), run the reference's
 BBH + paralog filters (Pangenes.java:98-176) on device and ship only the
-edge list (~1MB).
+accepted cells (~1-5MB).
 
-Float semantics: scores are computed with
+Runs on the same ``MeshRunner``/``shard_map`` formulation as the cells
+path, so one code path serves 1 chip, N chips, and N hosts:
+
+- each shard computes its local rows' per-(row, genome) score maxima,
+- the maxima every BBH test needs for BOTH endpoints are merged with an
+  ``all_gather`` over the mesh axis — the reference's cross-thread
+  ``col_max_scores`` merge (library.cpp:515) as an ICI collective,
+- the per-genome-pair ``inter_max_score`` matrix reduces with ``pmax``.
+
+Float semantics: scores are compared on device with
 :func:`pandelos_tpu.ops.exact_div.exact_div_f32` — bit-identical to the
 host's IEEE f32 quotients — so the reference's float-equality comparisons
 (score == per-(row, genome) maxima) behave exactly as on host.  The final
-``.net`` scores are still recomputed on host from the shipped integer
-(intersection, union) pairs.
+``.net`` scores and the genome-pair statistics are still computed on host
+from the shipped integer accumulators (bit-exact).
 
-Layout: rows live in width-sorted PERM order (as produced by the
-candidate engine); ``inv_perm`` maps gene id -> perm position for the
-counterpart-maxima lookups.
+Layout: rows live in width-sorted, shard-interleaved PERM order (as
+produced by the mesh extraction); ``inv_perm`` maps gene id -> global
+row position for the counterpart-maxima lookups, consistent with the
+``all_gather(tiled=True)`` row order.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
@@ -31,35 +40,44 @@ from pandelos_tpu.config import PipelineConfig
 from pandelos_tpu.index import KmerIndex
 from pandelos_tpu.ops.exact_div import exact_div_f32
 
-_ROW_CHUNK = 1024
+# module-level program cache (see ops/candidate.py: per-instance closures
+# would defeat jax's jit cache)
+_PROGRAMS: dict = {}
 
 
-def _chunked_genome_max(score, gsel, n_gen: int):
+def _row_chunk(P: int) -> int:
+    rc = min(1024, P)
+    while P % rc:
+        rc //= 2
+    return rc
+
+
+def _chunked_genome_max(score, gsel, n_gen: int, rc: int):
     """[P, K] scores + [P, K] genome ids -> [P, n_gen] per-row maxima."""
     P, K = score.shape
 
     def body(ci, M):
-        s = jax.lax.dynamic_slice(score, (ci * _ROW_CHUNK, 0), (_ROW_CHUNK, K))
-        g = jax.lax.dynamic_slice(gsel, (ci * _ROW_CHUNK, 0), (_ROW_CHUNK, K))
+        s = jax.lax.dynamic_slice(score, (ci * rc, 0), (rc, K))
+        g = jax.lax.dynamic_slice(gsel, (ci * rc, 0), (rc, K))
         onehot = (
             g[:, :, None] == jnp.arange(n_gen, dtype=jnp.int32)[None, None, :]
         )
         part = jnp.max(jnp.where(onehot, s[:, :, None], 0.0), axis=1)
-        return jax.lax.dynamic_update_slice(M, part, (ci * _ROW_CHUNK, 0))
+        return jax.lax.dynamic_update_slice(M, part, (ci * rc, 0))
 
     M0 = jnp.zeros((P, n_gen), dtype=score.dtype)
-    return jax.lax.fori_loop(0, P // _ROW_CHUNK, body, M0)
+    return jax.lax.fori_loop(0, P // rc, body, M0)
 
 
-def _genome_segment_max(M_rows, g_rows, n_gen: int):
+def _genome_segment_max(M_rows, g_rows, n_gen: int, rc: int):
     """[P, n_gen] per-row maxima + [P] row genomes -> [n_gen, n_gen]."""
     P = M_rows.shape[0]
 
     def body(ci, acc):
         m = jax.lax.dynamic_slice(
-            M_rows, (ci * _ROW_CHUNK, 0), (_ROW_CHUNK, M_rows.shape[1])
+            M_rows, (ci * rc, 0), (rc, M_rows.shape[1])
         )
-        g = jax.lax.dynamic_slice(g_rows, (ci * _ROW_CHUNK,), (_ROW_CHUNK,))
+        g = jax.lax.dynamic_slice(g_rows, (ci * rc,), (rc,))
         onehot = (
             g[:, None] == jnp.arange(n_gen, dtype=jnp.int32)[None, :]
         )  # [C, n_gen]
@@ -69,70 +87,76 @@ def _genome_segment_max(M_rows, g_rows, n_gen: int):
         return jnp.maximum(acc, part)
 
     acc0 = jnp.zeros((n_gen, n_gen), dtype=M_rows.dtype)
-    return jax.lax.fori_loop(0, P // _ROW_CHUNK, body, acc0)
+    return jax.lax.fori_loop(0, P // rc, body, acc0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_gen", "n_true", "edge_cap")
-)
-def _device_bbh(
-    grow,  # int32 [P] gene id per perm row (>= n_true for padding)
-    cand,  # int32 [P, K] candidate gene ids
-    inter,  # f32 [P, K] exact integer intersections
-    valid,  # bool [P, K]
-    inv_perm,  # int32 [G_pad] gene id -> perm position
+def _bbh_local(
+    grow_f,  # int32 [P] gene id per local row (>= n_true for padding)
+    cand_f,  # int32 [P, K] candidate gene ids
+    inter_rk,  # f32 [P, K] exact integer intersections
+    perc_rk,  # f32 [P, K] exact integer perc counts (row side)
+    tr_rk,  # f32 [P, K] exact integer tr counts (col side)
+    valid_rk,  # bool [P, K]
+    inv_perm,  # int32 [G_pad] gene id -> GLOBAL row position
     lens,  # f32 [G_pad] kseq lengths
     genome_of,  # int32 [G_pad]
+    axis: str,
     n_gen: int,
-    n_true: int,
     edge_cap: int,
 ):
-    P, K = cand.shape
-    lenA = lens[jnp.minimum(grow, lens.shape[0] - 1)]  # [P]
-    lenB = lens[cand]  # [P, K]
-    union = lenA[:, None] + lenB - inter
+    """Per-shard BBH with the cross-shard maxima collectives."""
+    P, K = cand_f.shape
+    rc = _row_chunk(P)
+    lenA = lens[jnp.minimum(grow_f, lens.shape[0] - 1)]  # [P]
+    lenB = lens[cand_f]  # [P, K]
+    union = lenA[:, None] + lenB - inter_rk
     score = exact_div_f32(
-        jnp.maximum(inter, 1.0).astype(jnp.int32),
+        jnp.maximum(inter_rk, 1.0).astype(jnp.int32),
         jnp.maximum(union, 1.0).astype(jnp.int32),
     )
-    score = jnp.where(valid & (inter > 0), score, 0.0)
+    score = jnp.where(valid_rk & (inter_rk > 0), score, 0.0)
 
-    g_i = genome_of[jnp.minimum(grow, genome_of.shape[0] - 1)]  # [P]
-    g_j = genome_of[cand]  # [P, K]
+    g_i = genome_of[jnp.minimum(grow_f, genome_of.shape[0] - 1)]  # [P]
+    g_j = genome_of[cand_f]  # [P, K]
 
-    M = _chunked_genome_max(score, g_j, n_gen)  # [P, n_gen]
+    M_local = _chunked_genome_max(score, g_j, n_gen, rc)  # [P, n_gen]
+    # THE collective: every shard needs every row's maxima for the BBH
+    # both-endpoint test (the reference's col_max_scores merge,
+    # library.cpp:515; cross-thread merge Pangenes.java:103-104).
+    M = jax.lax.all_gather(M_local, axis, tiled=True)  # [P_total, n_gen]
 
-    jpos = inv_perm[cand]  # [P, K] perm position of each candidate
-    M_at_gj = jnp.take_along_axis(M, g_j, axis=1)  # M[row, genome(j)]
+    jpos = inv_perm[cand_f]  # [P, K] global row position of candidate
+    M_at_gj = jnp.take_along_axis(M_local, g_j, axis=1)  # M[row, gen(j)]
     M_j_gi = M[jpos, g_i[:, None]]  # M[j, genome(i)]
 
     inter_genome = g_j != g_i[:, None]
     accept = (
-        valid
+        valid_rk
         & (score > 0)
         & inter_genome
         & (score == M_at_gj)
         & (score == M_j_gi)
     )
 
-    # per-genome-pair max accepted score < 1.0 (Pangenes.java:116-118)
+    # per-genome-pair max accepted score < 1.0 (Pangenes.java:116-118),
+    # merged across shards with pmax
     lt1 = accept & (score < 1.0)
-    M2 = _chunked_genome_max(jnp.where(lt1, score, 0.0), g_j, n_gen)
-    ims = _genome_segment_max(M2, g_i, n_gen)  # [n_gen, n_gen]
+    M2 = _chunked_genome_max(jnp.where(lt1, score, 0.0), g_j, n_gen, rc)
+    ims = jax.lax.pmax(
+        _genome_segment_max(M2, g_i, n_gen, rc), axis
+    )  # [n_gen, n_gen]
 
-    # row threshold (Pangenes.java:146-155)
+    # row threshold (Pangenes.java:146-155) — rows are shard-local
     thr_cell = ims[g_i[:, None], g_j]  # [P, K]
-    row_thr = jnp.min(
-        jnp.where(accept, thr_cell, jnp.inf), axis=1
-    )  # [P]
+    row_thr = jnp.min(jnp.where(accept, thr_cell, jnp.inf), axis=1)  # [P]
 
     # intra: g_j == g_i, so M_at_gj is the row's intra-genome max and
     # M_j_gi the counterpart's (Pangenes.java:164-176)
     intra = (
-        valid
+        valid_rk
         & (score > 0)
         & (~inter_genome)
-        & (grow[:, None] < cand)
+        & (grow_f[:, None] < cand_f)
         & (score == M_at_gj)
         & (score == M_j_gi)
         & (score >= row_thr[:, None])
@@ -142,220 +166,278 @@ def _device_bbh(
     flat = emask.reshape(-1)
     (idx,) = jnp.nonzero(flat, size=edge_cap, fill_value=-1)
     safe = jnp.maximum(idx, 0)
-    e_row = grow[safe // K]
-    e_col = cand.reshape(-1)[safe]
-    e_inter = inter.reshape(-1)[safe]
-    e_union = union.reshape(-1)[safe]
     found = idx >= 0
-    n_edges = jnp.sum(emask, dtype=jnp.int32)
+    e_row = jnp.where(found, grow_f[safe // K], -1)
+    e_col = cand_f.reshape(-1)[safe]
+    e_inter = inter_rk.reshape(-1)[safe]
+    e_union = union.reshape(-1)[safe]
+    e_perc = perc_rk.reshape(-1)[safe]
+    e_tr = tr_rk.reshape(-1)[safe]
+    e_acc = accept.reshape(-1)[safe] & found
+    n_edges = jnp.sum(emask, dtype=jnp.int32)[None]
+    n_valid = jnp.sum(score > 0, dtype=jnp.int32)[None]
     return (
-        jnp.where(found, e_row, -1),
-        jnp.where(found, e_col, -1),
-        e_inter,
-        e_union,
-        n_edges,
-        M,
-        ims,
+        e_row, e_col, e_inter, e_union, e_perc, e_tr, e_acc,
+        n_edges, n_valid, ims,
     )
+
+
+def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool):
+    """shard_map BBH program.  ``flat`` consumes the flatten_join pair
+    counters and re-expands them to [rows, K] by gather (the pallas
+    backend); otherwise the [blocks, R, K] in-scan join outputs are used
+    directly (the xla backend)."""
+    from jax.sharding import PartitionSpec as P
+
+    key = ("bbh", mesh, axis, n_gen, edge_cap, flat)
+    fn = _PROGRAMS.get(key)
+    if fn is not None:
+        return fn
+
+    rep3 = (P(None), P(None), P(None))
+    out_specs = (
+        (P(axis),) * 7
+        + (P(axis), P(axis))
+        + (P(None, None),)  # ims: pmax-merged, device-invariant
+    )
+
+    if flat:
+        def local(grow_l, cand_l, counts_l, fi, fp, ft, fv,
+                  inv_perm, lens, genome_of):
+            K = cand_l.shape[-1]
+            gf = grow_l.reshape(-1)
+            cf = cand_l.reshape(-1, K)
+            nf = counts_l.reshape(-1)
+            nf = jnp.where(nf > K, 0, nf)
+            cs = jnp.cumsum(nf)
+            base = cs - nf  # exclusive cumsum: same layout flatten_join used
+            sidx = jnp.arange(K, dtype=jnp.int32)[None, :]
+            slot_ok = sidx < nf[:, None]
+            idx = jnp.minimum(base[:, None] + sidx, fi.shape[0] - 1)
+            inter_rk = jnp.where(slot_ok, fi[idx], 0.0)
+            perc_rk = jnp.where(slot_ok, fp[idx], 0.0)
+            tr_rk = jnp.where(slot_ok, ft[idx], 0.0)
+            valid_rk = slot_ok & fv[idx]
+            return _bbh_local(
+                gf, cf, inter_rk, perc_rk, tr_rk, valid_rk,
+                inv_perm, lens, genome_of, axis, n_gen, edge_cap,
+            )
+
+        in_specs = (
+            P(axis, None),        # grow
+            P(axis, None, None),  # cand
+            P(axis, None),        # counts
+            P(axis), P(axis), P(axis), P(axis),  # flat counters + valid
+        ) + rep3
+    else:
+        def local(grow_l, cand_l, inter_l, perc_l, tr_l, valid_l,
+                  inv_perm, lens, genome_of):
+            K = cand_l.shape[-1]
+            return _bbh_local(
+                grow_l.reshape(-1),
+                cand_l.reshape(-1, K),
+                inter_l.reshape(-1, K),
+                perc_l.reshape(-1, K),
+                tr_l.reshape(-1, K),
+                valid_l.reshape(-1, K),
+                inv_perm, lens, genome_of, axis, n_gen, edge_cap,
+            )
+
+        in_specs = (
+            P(axis, None),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None, None),
+        ) + rep3
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+    _PROGRAMS[key] = fn
+    return fn
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def compute_network_device(
     index: KmerIndex, config: Optional[PipelineConfig] = None
 ):
-    """Candidate engine + on-device BBH.  Returns (edges, stats) with
-    edges as canonical (a, b, f32 score host-finalized) tuples, or None
-    when a candidate-cap overflow requires the host cells path."""
-    from pandelos_tpu.ops.score import _round_up, _width_buckets, pad_profiles
-    from pandelos_tpu.ops.candidate import _candidate_blocks, build_signatures
+    """Candidate engine + on-device BBH over the mesh.  Returns
+    (edges, stats) with edges as canonical (a, b, host-exact f32 score)
+    tuples, or None when a pathological candidate overflow requires the
+    host cells path.
+
+    Extraction runs with ``upper_only=False`` (each cell on both its
+    rows) so the per-row maxima are complete without any scatter; on
+    candidate-cap overflow the whole extraction reruns at the next
+    power-of-two cap (overflow is rare; caps above 1024 fall back)."""
+    from pandelos_tpu.ops.candidate import (
+        _next_pow2,
+        build_signatures,
+        get_runner,
+    )
+    from pandelos_tpu.ops.score import pad_profiles
 
     config = config or PipelineConfig()
     G = index.n_sequences
     if G == 0 or index.profile_ids.size == 0:
         return [], {"n_cells": 0}
 
+    use_pallas = config.backend == "pallas"
     row_block = min(config.row_block, _round_up(G, 8))
     col_block = min(config.col_block, _round_up(G, 128))
     padded = pad_profiles(index, row_block, col_block)
     G_pad = padded.ids.shape[0]
-    K = config.candidate_cap
 
     sig_mass, _, _ = build_signatures(index, padded, config)
-    all_ids = jnp.asarray(padded.ids)
-    all_counts = jnp.asarray(padded.counts)
+    runner = get_runner(index, padded, sig_mass, config)
+
+    widths = np.diff(index.profile_ptr)
+    perm = np.argsort(widths, kind="stable").astype(np.int32)
+    n_blocks = -(-G // row_block)
+    perm_pad = np.full(n_blocks * row_block, G, dtype=np.int32)
+    perm_pad[:G] = perm
+    perm_ext = np.concatenate(
+        [perm_pad, np.full(row_block, G, dtype=np.int32)]
+    )
+    starts = np.arange(0, n_blocks * row_block, row_block, np.int32)
+
+    K = config.candidate_cap
+    while True:
+        if use_pallas:
+            grow_d, cand_d, counts_d = runner.extract(
+                perm_ext, starts, row_block, padded.width, K,
+                do_join=False, upper_only=False,
+            )
+        else:
+            (grow_d, cand_d, inter_d, perc_d, tr_d, valid_d,
+             counts_d) = runner.extract(
+                perm_ext, starts, row_block, padded.width, K,
+                do_join=True, upper_only=False,
+            )
+        counts_h = runner.fetch(counts_d).reshape(-1)
+        grow_h = runner.fetch(grow_d).reshape(-1)
+        over = (counts_h > K) & (grow_h < G)
+        if not np.any(over):
+            break
+        K = _next_pow2(int(counts_h[over].max()))
+        if K > 1024:
+            return None  # pathological: use the host cells path
+
+    if use_pallas:
+        pair_cap, chunk = runner.pair_capacity(counts_h, K)
+        fi, fp, ft, fv = runner.flatten_join(
+            grow_d, cand_d, counts_d, K, pair_cap, chunk
+        )[2:]
+        # (pi, pj are implicit in the [rows, K] re-expansion)
+
+    # gene -> global row position (consistent with all_gather row order)
+    inv_perm = np.zeros(G_pad, dtype=np.int32)
+    real = grow_h < G
+    inv_perm[grow_h[real]] = np.flatnonzero(real).astype(np.int32)
 
     lens_pad = np.zeros(G_pad, dtype=np.float32)
     lens_pad[:G] = index.kseq_lengths
-    col_lens = jnp.asarray(lens_pad)
     genome_pad = np.zeros(G_pad, dtype=np.int32)
     genome_pad[:G] = index.seq_genome
 
-    widths = np.diff(index.profile_ptr)
-    width_pad = np.zeros(G_pad, dtype=np.int32)
-    width_pad[:G] = widths
-    prof_width = jnp.asarray(width_pad)
+    n_gen = index.n_genomes
+    inv_perm_r = runner._replicate(inv_perm)
+    lens_r = runner._replicate(lens_pad)
+    genome_r = runner._replicate(genome_pad)
 
-    grow_parts, cand_parts, inter_parts, valid_parts = [], [], [], []
-    counts_parts = []
-    grow_host_parts = []
-
-    for w_row, perm_pad, starts in _width_buckets(
-        widths, row_block, padded.width
-    ):
-        perm_ext = np.concatenate(
-            [perm_pad, np.full(row_block, G, dtype=np.int32)]
-        )
-        n_starts = len(starts)
-        n2 = 1
-        while n2 < n_starts:
-            n2 *= 2
-        starts_ext = np.concatenate(
-            [starts, np.full(n2 - n_starts, len(perm_pad), dtype=np.int32)]
-        )
-        grow, cand, inter, perc, tr, valid, counts = _candidate_blocks(
-            all_ids,
-            all_counts,
-            sig_mass,
-            col_lens,
-            prof_width,
-            jnp.asarray(perm_ext),
-            jnp.asarray(starts_ext),
-            row_block=row_block,
-            w_row=w_row,
-            cand_cap=K,
-            n_true=G,
-            k2=2 * index.k,
-        )
-        R = row_block
-        grow_parts.append(grow.reshape(-1))
-        cand_parts.append(cand.reshape(-1, K))
-        inter_parts.append(inter.reshape(-1, K))
-        valid_parts.append(valid.reshape(-1, K))
-        counts_parts.append(counts.reshape(-1))
-        # host mirror of the permuted row order
-        host_rows = perm_ext[
-            np.concatenate([np.arange(s, s + R) for s in starts_ext])
-        ]
-        grow_host_parts.append(host_rows)
-
-    counts_all = np.concatenate([np.asarray(c) for c in counts_parts])
-    grow_host = np.concatenate(grow_host_parts)
-
-    grow_d = jnp.concatenate(grow_parts)
-    cand_d = jnp.concatenate(cand_parts)
-    inter_d = jnp.concatenate(inter_parts)
-    valid_d = jnp.concatenate(valid_parts)
-
-    over_mask = (counts_all > K) & (grow_host < G)
-    if np.any(over_mask):
-        # rerun the overflowing rows on device with a larger uniform cap,
-        # append them, and invalidate the truncated originals
-        rows = np.unique(grow_host[over_mask])
-        K2 = _round_up(int(counts_all[over_mask].max()), 128)
-        if K2 > 1024:
-            return None  # pathological: use the host cells path
-        perm2 = np.concatenate(
-            [
-                rows.astype(np.int32),
-                np.full(
-                    ((-len(rows)) % row_block) + row_block, G, dtype=np.int32
-                ),
-            ]
-        )
-        starts2 = np.arange(
-            0, len(perm2) - row_block, row_block, dtype=np.int32
-        )
-        g2, c2, i2, _, _, v2, cnt2 = _candidate_blocks(
-            all_ids,
-            all_counts,
-            sig_mass,
-            col_lens,
-            prof_width,
-            jnp.asarray(perm2),
-            jnp.asarray(starts2),
-            row_block=row_block,
-            w_row=padded.width,
-            cand_cap=K2,
-            n_true=G,
-            k2=2 * index.k,
-        )
-        # widen main arrays K -> K2 with inert slots
-        padk = K2 - K
-        if padk:
-            cand_d = jnp.pad(cand_d, ((0, 0), (0, padk)), constant_values=G)
-            inter_d = jnp.pad(inter_d, ((0, 0), (0, padk)))
-            valid_d = jnp.pad(valid_d, ((0, 0), (0, padk)))
-        valid_d = valid_d & ~jnp.asarray(over_mask)[:, None]
-        grow_d = jnp.concatenate([grow_d, g2.reshape(-1)])
-        cand_d = jnp.concatenate([cand_d, c2.reshape(-1, K2)])
-        inter_d = jnp.concatenate([inter_d, i2.reshape(-1, K2)])
-        valid_d = jnp.concatenate([valid_d, v2.reshape(-1, K2)])
-        host_rows2 = perm2[
-            np.concatenate([np.arange(s, s + row_block) for s in starts2])
-        ]
-        grow_host = np.concatenate([grow_host, host_rows2])
-        K = K2
-
-    # pad P to a row-chunk multiple with inert rows
-    P = grow_d.shape[0]
-    P_pad = _round_up(max(P, _ROW_CHUNK), _ROW_CHUNK)
-    if P_pad != P:
-        padn = P_pad - P
-        grow_d = jnp.concatenate(
-            [grow_d, jnp.full((padn,), G, dtype=jnp.int32)]
-        )
-        cand_d = jnp.concatenate(
-            [cand_d, jnp.full((padn, K), G, dtype=jnp.int32)]
-        )
-        inter_d = jnp.concatenate(
-            [inter_d, jnp.zeros((padn, K), dtype=jnp.float32)]
-        )
-        valid_d = jnp.concatenate(
-            [valid_d, jnp.zeros((padn, K), dtype=jnp.bool_)]
-        )
-        grow_host = np.concatenate([grow_host, np.full(padn, G, np.int32)])
-
-    inv_perm = np.zeros(G_pad, dtype=np.int32)
-    real = grow_host < G
-    inv_perm[grow_host[real]] = np.flatnonzero(real).astype(np.int32)
-
-    edge_cap = max(1 << 18, 8 * G)
+    edge_cap = max(1 << 14, _next_pow2(8 * G // runner.n_dev))
     while True:
-        e_row, e_col, e_inter, e_union, n_edges, M, ims = _device_bbh(
-            grow_d,
-            cand_d,
-            inter_d,
-            valid_d,
-            jnp.asarray(inv_perm),
-            col_lens,
-            jnp.asarray(genome_pad),
-            n_gen=index.n_genomes,
-            n_true=G,
-            edge_cap=edge_cap,
+        fn = _bbh_program(
+            runner.mesh, runner.axis, n_gen, edge_cap, use_pallas
         )
-        n_edges = int(n_edges)
-        if n_edges <= edge_cap:
+        if use_pallas:
+            outs = fn(
+                grow_d, cand_d, counts_d, fi, fp, ft, fv,
+                inv_perm_r, lens_r, genome_r,
+            )
+        else:
+            outs = fn(
+                grow_d, cand_d, inter_d, perc_d, tr_d, valid_d,
+                inv_perm_r, lens_r, genome_r,
+            )
+        (e_row, e_col, e_inter, e_union, e_perc, e_tr, e_acc,
+         n_edges, n_valid, ims) = outs
+        n_edges_h = runner.fetch(n_edges)
+        if int(n_edges_h.max(initial=0)) <= edge_cap:
             break
-        edge_cap = _round_up(n_edges, 1 << 16)
+        edge_cap = _next_pow2(int(n_edges_h.max()))
 
-    e_row = np.asarray(e_row)
+    e_row = runner.fetch(e_row)
     keep = e_row >= 0
-    e_row = e_row[keep]
-    e_col = np.asarray(e_col)[keep]
-    e_inter = np.asarray(e_inter)[keep].astype(np.int64)
-    e_union = np.asarray(e_union)[keep].astype(np.int64)
+    e_row = e_row[keep].astype(np.int64)
+    e_col = runner.fetch(e_col)[keep].astype(np.int64)
+    e_inter = runner.fetch(e_inter)[keep].astype(np.int64)
+    e_union = runner.fetch(e_union)[keep].astype(np.int64)
+    e_perc = runner.fetch(e_perc)[keep].astype(np.float32)
+    e_tr = runner.fetch(e_tr)[keep].astype(np.float32)
+    e_acc = runner.fetch(e_acc)[keep]
+    ims_h = runner.fetch(ims)
 
     # host-exact f32 scores + canonical dedup (PangeneNet.java:167-174)
     scores = e_inter.astype(np.float32) / e_union.astype(np.float32)
-    a = np.minimum(e_row, e_col).astype(np.int64)
-    b = np.maximum(e_row, e_col).astype(np.int64)
+    a = np.minimum(e_row, e_col)
+    b = np.maximum(e_row, e_col)
     key = (a << np.int64(32)) | b
     _, first = np.unique(key, return_index=True)
     edges = [
         (int(a[t]), int(b[t]), float(scores[t])) for t in sorted(first)
     ]
     edges.sort()
+
+    # genome-pair statistics from the shipped accepted cells — the same
+    # aggregates the host path produces (net.py build_network, mirroring
+    # Pangenes.java:130-143's prints)
+    gi = np.asarray(index.seq_genome)[e_row]
+    gj = np.asarray(index.seq_genome)[e_col]
+    inter_keys = np.unique(key[e_acc])
+    intra_keys = np.unique(key[~e_acc])
     stats = {
+        "n_cells": int(runner.fetch(n_valid).sum()),
+        "n_accepted_inter_cells": int(e_acc.sum()),
+        "n_inter_edges": int(inter_keys.size),
+        "n_intra_edges": int(intra_keys.size),
         "n_edges": len(edges),
         "device_bbh": True,
+        "n_devices": runner.n_dev,
     }
+    if n_gen <= 128 and e_acc.any():
+        lens64 = np.asarray(index.kseq_lengths, np.float32)
+        ai, aj = gi[e_acc], gj[e_acc]
+        asc = scores[e_acc]
+        ap = e_perc[e_acc] / lens64[e_row[e_acc]]
+        atp = e_tr[e_acc] / lens64[e_col[e_acc]]
+        gp_sum = np.zeros((n_gen, n_gen), np.float64)
+        gp_cnt = np.zeros((n_gen, n_gen), np.int64)
+        gp_min = np.full((n_gen, n_gen), 1.0, np.float32)
+        gp_minp = np.full((n_gen, n_gen), 1.0, np.float32)
+        gp_maxp = np.full((n_gen, n_gen), 1.0, np.float32)
+        np.add.at(gp_sum, (ai, aj), asc.astype(np.float64))
+        np.add.at(gp_cnt, (ai, aj), 1)
+        pos = asc > 0.0
+        np.minimum.at(gp_min, (ai[pos], aj[pos]), asc[pos])
+        np.minimum.at(gp_minp, (ai, aj), np.minimum(ap, atp))
+        np.maximum.at(gp_maxp, (ai, aj), np.maximum(ap, atp))
+        with np.errstate(invalid="ignore"):
+            gp_mean = np.where(gp_cnt > 0, gp_sum / np.maximum(gp_cnt, 1), 0.0)
+        stats["genome_pairs"] = {
+            "mean_score": gp_mean.round(6).tolist(),
+            "min_score": gp_min.astype(float).tolist(),
+            "max_score_lt1": ims_h.astype(float).tolist(),
+            "min_perc": gp_minp.astype(float).tolist(),
+            "max_perc": gp_maxp.astype(float).tolist(),
+            "accepted_cells": gp_cnt.tolist(),
+        }
     return edges, stats

@@ -118,10 +118,16 @@ def run_pipeline(
         profile_cm.__enter__()
 
     net = None
-    if config.device_bbh and _resolve_backend(config.backend) in (
-        "xla",
-        "pallas",
-    ):
+    backend = _resolve_backend(config.backend)
+    device_bbh = config.device_bbh
+    if device_bbh is None and backend in ("xla", "pallas"):
+        # default-on whenever a real accelerator backend is attached: the
+        # host link is the bottleneck there (ships ~1-5MB of accepted
+        # cells instead of 20-60MB of valid cells)
+        import jax
+
+        device_bbh = jax.default_backend() != "cpu"
+    if device_bbh and backend in ("xla", "pallas"):
         from pandelos_tpu.ops.net_device import compute_network_device
 
         t = time.monotonic()
@@ -132,8 +138,8 @@ def run_pipeline(
             times["network"] = 0.0
             net = NetworkResult(
                 edges=edges,
-                n_inter_edges=dstats.get("n_edges", len(edges)),
-                n_intra_edges=0,
+                n_inter_edges=dstats.get("n_inter_edges", len(edges)),
+                n_intra_edges=dstats.get("n_intra_edges", 0),
                 genome_max=np.zeros((0, 0), np.float32),
                 inter_max_score=np.zeros((0, 0), np.float32),
                 stats=dstats,

@@ -46,6 +46,53 @@ def test_device_bbh_overflow_retry_matches_host():
     assert got == _host_edges(idx)
 
 
+@pytest.mark.parametrize("n_devices", [1, 2, 4])
+def test_device_bbh_pallas_multidevice_matches_host(n_devices):
+    """Pallas-join BBH through the mesh: the per-row maxima merge is an
+    all_gather collective (library.cpp:515 reborn), so edge sets must be
+    invariant in device count and equal to the host path."""
+    rng = np.random.default_rng(7)
+    ds = _random_ds(rng, n_genomes=4, n_fams=10)
+    idx = build_index(ds, k=3)
+    cfg = PipelineConfig(
+        backend="pallas", row_block=8, col_block=128, candidate_cap=32,
+        n_devices=n_devices,
+    )
+    out = compute_network_device(idx, cfg)
+    assert out is not None
+    edges, stats = out
+    got = {(a, b): np.float32(s) for a, b, s in edges}
+    assert got == _host_edges(idx)
+    assert stats["n_devices"] == n_devices
+
+
+def test_device_bbh_stats_match_host_path():
+    """The shipped accepted cells reproduce build_network's genome-pair
+    aggregates (the structured analogue of Pangenes.java:130-143)."""
+    rng = np.random.default_rng(5)
+    ds = _random_ds(rng, n_genomes=3, n_fams=12)
+    idx = build_index(ds, k=3)
+    cells = compute_cells_oracle(idx)
+    fin = finalize_scores(cells, idx.kseq_lengths, idx.k)
+    want = build_network(
+        fin, np.asarray(idx.seq_genome), idx.n_genomes, idx.n_sequences
+    )
+    out = compute_network_device(
+        idx, PipelineConfig(
+            backend="pallas", row_block=8, col_block=128, candidate_cap=64
+        ),
+    )
+    assert out is not None
+    _, stats = out
+    assert stats["n_inter_edges"] == want.n_inter_edges
+    assert stats["n_intra_edges"] == want.n_intra_edges
+    assert stats["n_accepted_inter_cells"] == want.stats[
+        "n_accepted_inter_cells"
+    ]
+    assert stats["n_cells"] == want.stats["n_cells"]
+    assert stats["genome_pairs"] == want.stats["genome_pairs"]
+
+
 def test_device_bbh_paralogs_and_identical_genes():
     from pandelos_tpu.io.faa import FaaDataset
 

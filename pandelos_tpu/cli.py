@@ -42,6 +42,14 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
         action="store_true",
         help="run BBH network construction on device",
     )
+    p.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host run: jax.distributed.initialize from the "
+        "PANDELOS_COORDINATOR / PANDELOS_NUM_PROCS / PANDELOS_PROC_ID "
+        "env vars; the scoring mesh spans every global device and only "
+        "the primary process writes outputs",
+    )
 
 
 def _config_from_args(args) -> PipelineConfig:
@@ -133,10 +141,25 @@ def main(argv=None) -> int:
 
 
 def _dispatch(args) -> int:
+    if getattr(args, "distributed", False):
+        from pandelos_tpu.parallel.distributed import initialize_from_env
+
+        topo = initialize_from_env()
+        print(json.dumps({"distributed": topo}), file=sys.stderr)
+
     if args.cmd == "run":
         from pandelos_tpu.pipeline import run_pipeline
 
-        res = run_pipeline(args.input, args.out_prefix, _config_from_args(args))
+        out_prefix = args.out_prefix
+        if getattr(args, "distributed", False):
+            from pandelos_tpu.parallel.distributed import is_primary
+
+            # non-primary processes run the same SPMD program (the mesh
+            # collectives require every process to participate) but only
+            # the primary writes .net/.clus/.stats.json
+            if not is_primary():
+                out_prefix = None
+        res = run_pipeline(args.input, out_prefix, _config_from_args(args))
         stats = dict(res.stats)
         if "network" in stats and "genome_pairs" in stats.get("network", {}):
             stats["network"] = {

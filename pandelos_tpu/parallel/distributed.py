@@ -1,23 +1,29 @@
-"""Multi-host (DCN) execution scaffolding.
+"""Multi-host (DCN) execution.
 
 The reference has no multi-node story (single JVM + thread pool,
 SURVEY §2.3); this module adds it the JAX way: every host runs the same
 program, ``jax.distributed.initialize`` wires the processes into one
-runtime, and the scoring pass runs over a global 2-level mesh
-(``make_mesh_2d``: hosts x local chips) with the row axis sharded over
-both levels — maxima merges ride ICI within a host and cross DCN once.
+runtime, and the scoring/BBH mesh programs (``ops/candidate.MeshRunner``,
+``ops/net_device``) span every global device — the maxima merges that the
+reference does with a single-node mutex (``library.cpp:515``,
+``Pangenes.java:103-104``) become ``all_gather``/``pmax`` collectives
+that ride ICI within a host and cross DCN once per host.
 
-Single-chip environments can exercise this path with ``n_processes=1``;
-real multi-host runs set the standard env vars::
+The CLI entry is ``--distributed`` (``cli.py``): every process executes
+the same SPMD pipeline; only the primary writes outputs.  Real
+multi-host runs set the standard env vars::
 
     PANDELOS_COORDINATOR=host0:9999 PANDELOS_NUM_PROCS=2 \
     PANDELOS_PROC_ID=0 python -m pandelos_tpu.cli run ... --distributed
+
+The 2-process CPU-coordinator test lives in
+``tests/test_distributed.py`` (spawns real OS processes, asserts
+cell-level and .net/.clus byte equality with a single-process run).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 
@@ -52,4 +58,8 @@ def global_mesh(axes=("hosts", "rows")):
 
 
 def is_primary() -> bool:
-    return int(os.environ.get("PANDELOS_PROC_ID", "0")) == 0
+    """True on the process that should write outputs."""
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return int(os.environ.get("PANDELOS_PROC_ID", "0")) == 0

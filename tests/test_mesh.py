@@ -164,6 +164,8 @@ def test_dryrun_multichip_entry():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    assert out[0].shape[0] == 16
+    # candidate-engine scan: [n_blocks, row_block] grow + [.., K] cand
+    assert out[0].shape == (4, 16)
+    assert out[1].shape == (4, 16, 32)
 
     ge.dryrun_multichip(8)

@@ -25,7 +25,7 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--backend",
         default="auto",
-        choices=["auto", "oracle", "dense", "xla", "pallas"],
+        choices=["auto", "oracle", "dense", "xla", "pallas", "reference"],
     )
     p.add_argument("--row-block", type=int, default=None)
     p.add_argument("--col-block", type=int, default=None)

@@ -21,10 +21,13 @@ behaviour, so we call the same library function.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Sequence, Tuple
 
 import networkx as nx
 import numpy as np
+
+from pandelos_tpu.native.loader import native_available
 
 
 @dataclasses.dataclass
@@ -66,26 +69,25 @@ def _split_until_max_k(nodes, graph: nx.Graph, seq_genome) -> List[List[int]]:
     return result
 
 
-def _max_collision_arrays(members, eu, ev, seq_genome) -> int:
+def _max_collision_arrays(members, eu, ev, seq_genome, bool_scratch) -> int:
     """Vectorized _max_collision for a member set against the edge list
-    of its (parent) component."""
+    of its (parent) component.  ``bool_scratch`` is an all-False bool
+    array over all sequence ids, restored before returning."""
     mset = np.asarray(sorted(members), dtype=np.int64)
-    pos = {int(g): t for t, g in enumerate(mset)}
-    genomes = seq_genome[mset]
-    n_by_genome = {}
-    for g in genomes:
-        n_by_genome[int(g)] = n_by_genome.get(int(g), 0) + 1
-    deg_same = np.zeros(len(mset), dtype=np.int64)
-    for u, v in zip(eu, ev):
-        pu, pv = pos.get(int(u)), pos.get(int(v))
-        if pu is None or pv is None:
-            continue
-        if seq_genome[u] == seq_genome[v]:
-            deg_same[pu] += 1
-            deg_same[pv] += 1
-    coll = np.asarray(
-        [n_by_genome[int(g)] for g in genomes], dtype=np.int64
-    ) - 1 - deg_same
+    bool_scratch[mset] = True
+    sel = bool_scratch[eu] & bool_scratch[ev]
+    bool_scratch[mset] = False
+    u, v = eu[sel], ev[sel]
+    sgm = seq_genome[u] == seq_genome[v]
+    su = np.searchsorted(mset, u[sgm])
+    sv = np.searchsorted(mset, v[sgm])
+    deg_same = np.bincount(su, minlength=len(mset)) + np.bincount(
+        sv, minlength=len(mset)
+    )
+    _, ginv, gcnt = np.unique(
+        seq_genome[mset], return_inverse=True, return_counts=True
+    )
+    coll = gcnt[ginv] - 1 - deg_same
     return int(coll.max(initial=0))
 
 
@@ -110,38 +112,46 @@ def _plain_bfs_set(source: int, adj: dict) -> set:
     return seen
 
 
-def _copy_scan_edges(view_order, adj, m_set=None):
-    """Edges in networkx ``Graph.copy()`` insertion order.
+def _copy_scan_edges_np(vo, dsrc, ddst, pos_scratch):
+    """Edges in networkx ``Graph.copy()`` insertion order, as LOCAL
+    positions into ``vo`` — fully vectorized.
 
     ``girvan_newman`` does not run on the subgraph view it is given: it
     runs on ``view.copy().to_undirected()``, which rebuilds adjacency by
     scanning nodes in view order and each node's view-adjacency (pnet
-    adjacency filtered to ``m_set``) in edge-insertion order, inserting
-    every undirected edge into BOTH endpoints' dicts at its first
-    encounter.  ``pt_gn_split`` builds adjacency by per-edge append, so
-    feeding it edges in this scan order reproduces the copy's adjacency —
-    and therefore Brandes' float accumulation order and the ``G.edges()``
-    first-max tie scan — bit-exactly.  (The second rebuild inside
-    ``to_undirected`` is an order no-op: one scan already leaves every
-    node's lower-position neighbours sorted by position ahead of its
-    higher-position neighbours in view-adjacency order.)"""
-    seen = set()
-    ou: List[int] = []
-    ov: List[int] = []
-    for u in view_order:
-        for v in adj[u]:
-            if m_set is not None and v not in m_set:
-                continue
-            key = (u, v) if u < v else (v, u)
-            if key not in seen:
-                seen.add(key)
-                ou.append(u)
-                ov.append(v)
-    return ou, ov
+    adjacency filtered to the member set) in edge-insertion order,
+    inserting every undirected edge into BOTH endpoints' dicts at its
+    first encounter.  ``pt_gn_split`` builds adjacency by per-edge
+    append, so feeding it edges in this scan order reproduces the copy's
+    adjacency — and therefore Brandes' float accumulation order and the
+    ``G.edges()`` first-max tie scan — bit-exactly.  (The second rebuild
+    inside ``to_undirected`` is an order no-op: one scan already leaves
+    every node's lower-position neighbours sorted by position ahead of
+    its higher-position neighbours in view-adjacency order.)
+
+    ``dsrc``/``ddst`` is the component's DIRECTED edge stream in pnet
+    adjacency-insertion order (for edge i: (u_i, v_i) then (v_i, u_i)),
+    so the subsequence with both endpoints in the member set, stably
+    sorted by source position, is exactly the copy scan; ``np.unique``'s
+    first-occurrence indices are the seen-set dedup.  ``pos_scratch`` is
+    an all--1 int array over all sequence ids, restored before return."""
+    pos_scratch[vo] = np.arange(len(vo), dtype=np.int64)
+    pu = pos_scratch[dsrc]
+    pv = pos_scratch[ddst]
+    pos_scratch[vo] = -1
+    ok = (pu >= 0) & (pv >= 0)
+    pu, pv = pu[ok], pv[ok]
+    order = np.argsort(pu, kind="stable")
+    pu, pv = pu[order], pv[order]
+    key = np.minimum(pu, pv) * np.int64(len(vo)) + np.maximum(pu, pv)
+    _, first = np.unique(key, return_index=True)
+    sel = np.sort(first)
+    return pu[sel].astype(np.int32), pv[sel].astype(np.int32)
 
 
 def _split_colliding_native(
-    bunch, adj, comp_order, n_total, eu, ev, seq_genome
+    bunch, dsrc, ddst, comp_order, n_total, eu, ev, seq_genome,
+    pos_scratch, bool_scratch,
 ) -> "List[List[int]] | None":
     """One netclu ``split_until_max_k`` level (netclu_ng.py:101-115) via
     the C++ Brandes core, mirroring networkx 3.x order semantics exactly:
@@ -167,10 +177,8 @@ def _split_colliding_native(
         view_order = list(m_set)  # CPython set iteration order
     else:
         view_order = [u for u in comp_order if u in m_set]
-    pos = {u: i for i, u in enumerate(view_order)}
-    ou, ov = _copy_scan_edges(view_order, adj, m_set)
-    leu = np.asarray([pos[u] for u in ou], dtype=np.int32)
-    lev = np.asarray([pos[v] for v in ov], dtype=np.int32)
+    vo = np.asarray(view_order, dtype=np.int64)
+    leu, lev = _copy_scan_edges_np(vo, dsrc, ddst, pos_scratch)
     labels = native_gn_split(len(view_order), leu, lev)
     if labels is None:
         return None
@@ -182,9 +190,10 @@ def _split_colliding_native(
     for com in by_label.values():
         com = sorted(com)  # netclu: sorted(c) before testing/recursing
         com_a = np.asarray(com, dtype=np.int64)
-        if _max_collision_arrays(com_a, eu, ev, seq_genome) > 0:
+        if _max_collision_arrays(com_a, eu, ev, seq_genome, bool_scratch) > 0:
             sub = _split_colliding_native(
-                com, adj, comp_order, n_total, eu, ev, seq_genome
+                com, dsrc, ddst, comp_order, n_total, eu, ev, seq_genome,
+                pos_scratch, bool_scratch,
             )
             if sub is None:
                 return None
@@ -289,6 +298,69 @@ def cluster_network(
     pnet_nx = None  # literal netclu graph, built lazily on native miss
     coco_by_member: dict = {}
 
+    def _split_component(members, ceu, cev, pos_scratch, bool_scratch):
+        """Colliding-component GN recursion; None on native miss.
+        Thread-safe: every input and scratch is job-local."""
+        # members in netclu's full-graph dict order (first appearance
+        # may be a self-loop line, hence the global stream rank); the
+        # per-line double append restricted to this component IS
+        # pnet's adjacency for these nodes.
+        comp_order = members[np.argsort(order_rank[members])].tolist()
+        adj = {u: [] for u in comp_order}
+        for u, v in zip(ceu.tolist(), cev.tolist()):
+            adj[u].append(v)
+            adj[v].append(u)
+        # netclu's coco is the BFS set from connected_components,
+        # sourced at the first component member in pnet node order
+        coco = _plain_bfs_set(comp_order[0], adj)
+        # directed edge stream in pnet adjacency-insertion order:
+        # per edge, (u, v) then (v, u) (netclu_ng.py:55-56's double
+        # add_edge) — the basis for every copy-scan at any depth
+        dsrc = np.empty(2 * len(ceu), dtype=np.int64)
+        dsrc[0::2] = ceu
+        dsrc[1::2] = cev
+        ddst = np.empty_like(dsrc)
+        ddst[0::2] = cev
+        ddst[1::2] = ceu
+        return _split_colliding_native(
+            iter(coco), dsrc, ddst, comp_order, n_total, ceu, cev,
+            seq_genome, pos_scratch, bool_scratch,
+        )
+
+    # colliding components are independent jobs; the C++ Brandes core
+    # releases the GIL for the duration of each pt_gn_split call, so a
+    # small thread pool overlaps them (the Java analogue is the reference
+    # running netclu once, single-threaded — this phase parallelism has
+    # no ordering effect because each family list is derived per
+    # component and .clus lines are sorted on write)
+    comp_ids = [
+        c for c in range(n_comp)
+        if node_starts[c + 1] > node_starts[c] and comp_coll[c] > 0
+    ]
+    split_results: dict = {}
+    if comp_ids and native_available():
+        import concurrent.futures as cf
+
+        n_workers = min(len(comp_ids), os.cpu_count() or 1)
+
+        def job(c):
+            lo, hi = node_starts[c], node_starts[c + 1]
+            el, eh = edge_starts[c], edge_starts[c + 1]
+            idx = order_e[el:eh]
+            return c, _split_component(
+                nodes_sorted[lo:hi], ea2[idx], eb2[idx],
+                np.full(n_sequences, -1, dtype=np.int64),
+                np.zeros(n_sequences, dtype=bool),
+            )
+
+        if n_workers > 1:
+            with cf.ThreadPoolExecutor(n_workers) as pool:
+                for c, coms in pool.map(job, comp_ids):
+                    split_results[c] = coms
+        else:
+            for c in comp_ids:
+                split_results[c] = job(c)[1]
+
     for c in range(n_comp):
         lo, hi = node_starts[c], node_starts[c + 1]
         if hi == lo:
@@ -297,24 +369,7 @@ def cluster_network(
         size = int(hi - lo)
         comp_distr[size] = comp_distr.get(size, 0) + 1
         if comp_coll[c] > 0:
-            el, eh = edge_starts[c], edge_starts[c + 1]
-            idx = order_e[el:eh]
-            ceu, cev = ea2[idx], eb2[idx]
-            # members in netclu's full-graph dict order (first appearance
-            # may be a self-loop line, hence the global stream rank); the
-            # per-line double append restricted to this component IS
-            # pnet's adjacency for these nodes.
-            comp_order = members[np.argsort(order_rank[members])].tolist()
-            adj = {u: [] for u in comp_order}
-            for u, v in zip(ceu.tolist(), cev.tolist()):
-                adj[u].append(v)
-                adj[v].append(u)
-            # netclu's coco is the BFS set from connected_components,
-            # sourced at the first component member in pnet node order
-            coco = _plain_bfs_set(comp_order[0], adj)
-            coms = _split_colliding_native(
-                iter(coco), adj, comp_order, n_total, ceu, cev, seq_genome
-            )
+            coms = split_results.get(c)
             if coms is None:  # native core unavailable: literal networkx
                 if pnet_nx is None:
                     pnet_nx = nx.Graph()

@@ -55,7 +55,7 @@ def _resolve_backend(backend: str) -> str:
 
 def compute_cells(index: KmerIndex, config: PipelineConfig) -> ScoreCells:
     backend = _resolve_backend(config.backend)
-    if backend == "oracle":
+    if backend in ("oracle", "reference"):
         return compute_cells_oracle(index)
     if backend == "dense":
         from pandelos_tpu.ops.score import compute_cells_xla
@@ -119,6 +119,31 @@ def run_pipeline(
 
     net = None
     backend = _resolve_backend(config.backend)
+
+    if backend == "reference":
+        # whole-run transcription twin (reference.py): oracle cells ->
+        # per-cell f32 finalize -> Pangenes.java dict BBH.  Clustering
+        # below also switches to the netclu_ng.py networkx transcription.
+        from pandelos_tpu import reference as refmod
+
+        t = time.monotonic()
+        cells = compute_cells_oracle(index)
+        times["score"] = time.monotonic() - t
+        t = time.monotonic()
+        fcells = refmod.finalize_cells_reference(cells, index.kseq_lengths, k)
+        edges, rstats = refmod.build_network_reference(
+            fcells, index.seq_genome, ds.n_genomes
+        )
+        net = NetworkResult(
+            edges=edges,
+            n_inter_edges=rstats["n_inter_edges"],
+            n_intra_edges=rstats["n_intra_edges"],
+            genome_max=np.zeros((0, 0), np.float32),
+            inter_max_score=np.zeros((0, 0), np.float32),
+            stats=rstats,
+        )
+        times["network"] = time.monotonic() - t
+
     device_bbh = config.device_bbh
     if device_bbh is None and backend in ("xla", "pallas"):
         # default-on whenever a real accelerator backend is attached: the
@@ -166,9 +191,16 @@ def run_pipeline(
         write_net(os.path.join(config.checkpoint_dir, "network.net"), net.edges)
 
     t = time.monotonic()
-    clusters = cluster_network(
-        net.edges, np.asarray(ds.seq_genome), ds.n_sequences
-    )
+    if backend == "reference":
+        from pandelos_tpu.reference import cluster_reference
+
+        clusters = cluster_reference(
+            net.edges, np.asarray(ds.seq_genome), ds.n_sequences
+        )
+    else:
+        clusters = cluster_network(
+            net.edges, np.asarray(ds.seq_genome), ds.n_sequences
+        )
     fams, singles = families_as_names(clusters, ds.names)
     lines = family_lines(fams, singles)
     times["cluster"] = time.monotonic() - t

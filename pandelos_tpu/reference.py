@@ -1,0 +1,246 @@
+"""Transcription-faithful reference runner — the ``reference`` backend.
+
+A pure-Python re-enactment of the reference pipeline's semantics, kept
+deliberately close to the original control flow so that it can stand in for
+the (unrunnable-here) Java/C++ pipeline as a whole-run differential twin:
+
+- score finalization: per-cell f32 arithmetic in the exact operation order
+  of ``library.cpp:493-512`` (one f32 divide per direction, 1/(2k)
+  validity with OR, score>0 retention);
+- network construction: the per-genome two-pass BBH filter of
+  ``Pangenes.java:60-183`` with dict-based maxima and a dict-of-edges
+  network (``PangeneNet.java:38-62`` analogue);
+- clustering: the networkx transcription of ``netclu_ng.py:41-175``
+  (graph build, ``get_max_collision``, ``split_until_max_k``, singleton
+  emission).
+
+This module intentionally shares NO code with the production path
+(``net.py`` / ``cluster.py`` / ``ops/*``): agreement between
+``--backend reference`` and the production backends on whole ``.net`` /
+``.clus`` outputs is the repo's substitute for running the reference's
+Java pipeline (no JVM in this environment).  See VERDICT r1 "next #6".
+
+Integer cells come from :func:`pandelos_tpu.oracle.cells.compute_cells_oracle`
+— the vocabulary-major posting-list walk that mirrors the reference's
+inverted index (``library.cpp:297-335``) and is itself differentially
+tested against a dict-based brute force (``tests/reference_impl.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from pandelos_tpu.oracle.cells import ScoreCells
+
+
+def finalize_cells_reference(
+    cells: ScoreCells, kseq_lengths: np.ndarray, k: int
+) -> List[Tuple[int, int, np.float32, np.float32, np.float32]]:
+    """Per-cell f32 finalization, scalar loop in library.cpp:493-512 order.
+
+    Returns ``[(row, col, score, perc, tr_perc), ...]`` for score > 0
+    cells, in (row, col) order — the per-row column order of the native
+    kernel's colored-cell walk does not affect any downstream result (all
+    consumers are order-independent maxima / keyed dicts), so the sorted
+    order is used for determinism.
+    """
+    order = np.lexsort((cells.col, cells.row))
+    rows = cells.row[order].tolist()
+    cols = cells.col[order].tolist()
+    inters = cells.intersection[order].tolist()
+    percs = cells.perc_cnt[order].tolist()
+    trs = cells.tr_perc_cnt[order].tolist()
+    lengths = np.asarray(kseq_lengths).tolist()
+
+    f32 = np.float32
+    thr = f32(1.0) / (f32(2.0) * f32(k))
+    out = []
+    for i, j, inter, perc_cnt, tr_cnt in zip(rows, cols, inters, percs, trs):
+        a = lengths[i]
+        b = lengths[j]
+        union = a + b - inter  # exact integer union (library.cpp:494-496)
+        perc = f32(perc_cnt) / f32(a)
+        tr_perc = f32(tr_cnt) / f32(b)
+        if perc >= thr or tr_perc >= thr:  # library.cpp:499-502
+            score = f32(inter) / f32(union)  # the single divide, :501
+            if score > 0:  # only score > 0 cells stored, :505-512
+                out.append((i, j, score, perc, tr_perc))
+    return out
+
+
+def build_network_reference(
+    fcells: List[Tuple[int, int, np.float32, np.float32, np.float32]],
+    seq_genome,
+    n_genomes: int,
+) -> Tuple[List[Tuple[int, int, float]], Dict]:
+    """Pangenes.java:60-183 transcription: per-genome maxima + two passes.
+
+    Returns (canonical undirected edge list sorted by (a, b), stats).
+    The reference adds inter edges bidirectionally and dedups on write
+    with ``key <= node`` (PangeneNet.java:167-174); the canonical dict
+    here is that dedup.  Java's HashMap write order is implementation-
+    defined, so the canonical sorted order — the same one the production
+    writer uses — is the portable choice.
+    """
+    seq_genome = list(seq_genome)
+    f32 = np.float32
+    zero = f32(0.0)
+    one = f32(1.0)
+
+    # group cell indices by the row's genome (the reference computes each
+    # genome's scoresPart separately, Pangenes.java:66)
+    by_genome: List[List[int]] = [[] for _ in range(n_genomes)]
+    for idx, (i, _, _, _, _) in enumerate(fcells):
+        by_genome[seq_genome[i]].append(idx)
+
+    edges: Dict[Tuple[int, int], float] = {}
+
+    def add_edge(a: int, b: int, s) -> None:
+        if a > b:
+            a, b = b, a
+        edges.setdefault((a, b), float(s))
+
+    n_inter = 0
+    n_intra = 0
+    for g in range(n_genomes):
+        part = by_genome[g]
+
+        # running maxima as the native kernel keeps them
+        # (library.cpp:513-515): row's best vs each genome, and each
+        # column's best vs this genome's rows.
+        max_genome_score: Dict[Tuple[int, int], np.float32] = {}
+        col_max: Dict[int, np.float32] = {}
+        for idx in part:
+            i, j, s, _, _ = fcells[idx]
+            tg = seq_genome[j]
+            if s > max_genome_score.get((i, tg), zero):
+                max_genome_score[(i, tg)] = s
+            if s > col_max.get(j, zero):
+                col_max[j] = s
+
+        # pass 1: inter-genome BBH (Pangenes.java:98-128)
+        inter_max_score = [zero] * n_genomes  # max accepted score < 1.0
+        accepted: List[Tuple[int, int, np.float32, int]] = []
+        for idx in part:
+            i, j, s, _, _ = fcells[idx]
+            sg = seq_genome[j]
+            if sg != g and s == max_genome_score[(i, sg)] and s == col_max[j]:
+                before = len(edges)
+                add_edge(i, j, s)
+                if len(edges) > before:
+                    n_inter += 1
+                accepted.append((i, j, s, sg))
+                if s < one and s > inter_max_score[sg]:  # :116-118
+                    inter_max_score[sg] = s
+
+        # row thresholds (Pangenes.java:146-155): min over the row's
+        # accepted target genomes of that genome's inter_max_score.
+        row_threshold: Dict[int, np.float32] = {}
+        inf = f32(np.inf)
+        for i, j, s, sg in accepted:
+            if inter_max_score[sg] < row_threshold.get(i, inf):
+                row_threshold[i] = inter_max_score[sg]
+
+        # pass 2: intra-genome paralog edges (Pangenes.java:164-176)
+        for idx in part:
+            i, j, s, _, _ = fcells[idx]
+            if (
+                i < j
+                and seq_genome[j] == g
+                and s == max_genome_score.get((i, g), zero)
+                and s == max_genome_score.get((j, g), zero)
+                and s >= row_threshold.get(i, inf)
+            ):
+                before = len(edges)
+                add_edge(i, j, s)
+                if len(edges) > before:
+                    n_intra += 1
+
+    edge_list = [(a, b, w) for (a, b), w in sorted(edges.items())]
+    stats = {
+        "n_cells": len(fcells),
+        "n_inter_edges": n_inter,
+        "n_intra_edges": n_intra,
+    }
+    return edge_list, stats
+
+
+def cluster_reference(edges, seq_genome, n_sequences: int):
+    """netclu_ng.py:41-175 transcription on networkx, returning a
+    :class:`pandelos_tpu.cluster.ClusterResult`-compatible object."""
+    import networkx as nx
+    import networkx.algorithms.community.centrality as nxc
+
+    from pandelos_tpu.cluster import ClusterResult
+
+    seq_genome = list(seq_genome)
+
+    # graph build in file order, self-loops add the node only
+    # (netclu_ng.py:43-56)
+    pnet = nx.Graph()
+    inodes = set()
+    for a, b, w in edges:
+        a, b = int(a), int(b)
+        if a not in inodes:
+            inodes.add(a)
+            pnet.add_node(a)
+        if (b not in inodes) and (a != b):
+            inodes.add(b)
+            pnet.add_node(b)
+        if a != b:
+            pnet.add_edge(a, b, weight=float(w))
+            pnet.add_edge(b, a, weight=float(w))
+
+    def get_max_collision(coco, g) -> int:  # netclu_ng.py:79-96
+        collisions: Dict[int, List[int]] = {}
+        for s in coco:
+            collisions.setdefault(seq_genome[s], []).append(s)
+        max_k = 0
+        for v in collisions.values():
+            for s1 in v:
+                s_k = 0
+                for s2 in v:
+                    if s1 != s2 and not (
+                        g.has_edge(s1, s2) or g.has_edge(s2, s1)
+                    ):
+                        s_k += 1
+                if s_k > max_k:
+                    max_k = s_k
+        return max_k
+
+    def split_until_max_k(coco, g):  # netclu_ng.py:101-115
+        snet = g.subgraph(coco)
+        coms = tuple(sorted(c) for c in next(nxc.girvan_newman(snet)))
+        rcoms = []
+        for com in coms:
+            if get_max_collision(com, snet) > 0:
+                rcoms = rcoms + split_until_max_k(com, snet)
+            else:
+                rcoms.append(com)
+        return rcoms
+
+    remaining = set(range(n_sequences))
+    families: List[List[int]] = []
+    comp_distr: Dict[int, int] = {}
+    for coco in nx.algorithms.components.connected_components(pnet):
+        comp_distr[len(coco)] = comp_distr.get(len(coco), 0) + 1
+        if get_max_collision(coco, pnet) > 0:
+            for com in split_until_max_k(coco, pnet):
+                families.append(sorted(int(x) for x in com))
+                remaining -= set(int(x) for x in com)
+        else:
+            families.append(sorted(int(x) for x in coco))
+            remaining -= set(int(x) for x in coco)
+
+    fam_distr: Dict[int, int] = {}
+    for fam in families:
+        fam_distr[len(fam)] = fam_distr.get(len(fam), 0) + 1
+
+    return ClusterResult(
+        families=families,
+        singletons=sorted(remaining),
+        component_size_distr=comp_distr,
+        family_size_distr=fam_distr,
+    )

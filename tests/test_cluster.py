@@ -86,7 +86,7 @@ def test_native_gn_split_matches_networkx():
     import networkx as nx
     import numpy as np
 
-    from pandelos_tpu.cluster import _copy_scan_edges
+    from pandelos_tpu.cluster import _copy_scan_edges_np
     from pandelos_tpu.native.loader import native_available, native_gn_split
 
     if not native_available():
@@ -115,16 +115,19 @@ def test_native_gn_split_matches_networkx():
         H.add_edges_from(edges)
         gn = nx.algorithms.community.centrality.girvan_newman(H)
         want = sorted(tuple(sorted(c)) for c in next(gn))
-        adj = {i: [] for i in range(len(node_order))}
-        for u, v in edges:
-            adj[lid[u]].append(lid[v])
-            adj[lid[v]].append(lid[u])
-        ou, ov = _copy_scan_edges(list(range(len(node_order))), adj)
-        labels = native_gn_split(
-            len(node_order),
-            np.asarray(ou, np.int32),
-            np.asarray(ov, np.int32),
+        le = np.asarray([[lid[u], lid[v]] for u, v in edges], np.int64)
+        dsrc = np.empty(2 * len(edges), np.int64)
+        dsrc[0::2] = le[:, 0]
+        dsrc[1::2] = le[:, 1]
+        ddst = np.empty_like(dsrc)
+        ddst[0::2] = le[:, 1]
+        ddst[1::2] = le[:, 0]
+        nn = len(node_order)
+        ou, ov = _copy_scan_edges_np(
+            np.arange(nn, dtype=np.int64), dsrc, ddst,
+            np.full(nn, -1, np.int64),
         )
+        labels = native_gn_split(nn, ou, ov)
         got = {}
         for t, g in enumerate(node_order):
             got.setdefault(int(labels[t]), []).append(g)

@@ -25,7 +25,9 @@ CASES = [
 
 
 @pytest.mark.parametrize("name,faa", CASES, ids=[c[0] for c in CASES])
-@pytest.mark.parametrize("backend", ["oracle", "dense", "xla", "pallas"])
+@pytest.mark.parametrize(
+    "backend", ["oracle", "dense", "xla", "pallas", "reference"]
+)
 def test_backend_reproduces_golden(tmp_path, name, faa, backend):
     prefix = str(tmp_path / name)
     cfg = PipelineConfig(backend=backend, row_block=16, col_block=128,

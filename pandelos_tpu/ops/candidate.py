@@ -386,6 +386,14 @@ def _extract_program(mesh, axis: str, row_block: int, w_row: int,
         do_join=do_join,
         upper_only=upper_only,
     )
+    if mesh.size == 1:
+        # Single-device: the same local function, plain-jitted (it already
+        # carries @jax.jit with static argnames).  The shard_map wrapper is
+        # semantically identity here but routes through SPMD partitioning
+        # the experimental remote-TPU backend does not reliably execute
+        # (observed hangs), and costs compile time for nothing.
+        _PROGRAM_CACHE[key] = local
+        return local
     if do_join:
         out_specs = (
             P(axis, None),          # grow
@@ -459,23 +467,26 @@ def _flatten_join_program(mesh, axis: str, pair_cap: int, chunk: int,
         )
         return pi, pj, inter, perc, tr, valid
 
-    fn = jax.jit(
-        jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(
-                P(axis, None),
-                P(axis, None, None),
-                P(axis, None),
-                P(None, None),
-                P(None),
-                P(),
-                P(),
-            ),
-            out_specs=(P(axis),) * 6,
-            check_vma=False,
+    if mesh.size == 1:
+        fn = jax.jit(local)  # see _extract_program: no shard_map on 1 device
+    else:
+        fn = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    P(axis, None),
+                    P(axis, None, None),
+                    P(axis, None),
+                    P(None, None),
+                    P(None),
+                    P(),
+                    P(),
+                ),
+                out_specs=(P(axis),) * 6,
+                check_vma=False,
+            )
         )
-    )
     _PROGRAM_CACHE[key] = fn
     return fn
 

@@ -123,7 +123,11 @@ def _bbh_local(
     # THE collective: every shard needs every row's maxima for the BBH
     # both-endpoint test (the reference's col_max_scores merge,
     # library.cpp:515; cross-thread merge Pangenes.java:103-104).
-    M = jax.lax.all_gather(M_local, axis, tiled=True)  # [P_total, n_gen]
+    # axis=None: single-device plain-jit mode, the gather is identity.
+    if axis is None:
+        M = M_local  # [P_total == P, n_gen]
+    else:
+        M = jax.lax.all_gather(M_local, axis, tiled=True)  # [P_total, n_gen]
 
     jpos = inv_perm[cand_f]  # [P, K] global row position of candidate
     M_at_gj = jnp.take_along_axis(M_local, g_j, axis=1)  # M[row, gen(j)]
@@ -142,9 +146,9 @@ def _bbh_local(
     # merged across shards with pmax
     lt1 = accept & (score < 1.0)
     M2 = _chunked_genome_max(jnp.where(lt1, score, 0.0), g_j, n_gen, rc)
-    ims = jax.lax.pmax(
-        _genome_segment_max(M2, g_i, n_gen, rc), axis
-    )  # [n_gen, n_gen]
+    ims = _genome_segment_max(M2, g_i, n_gen, rc)  # [n_gen, n_gen]
+    if axis is not None:
+        ims = jax.lax.pmax(ims, axis)
 
     # row threshold (Pangenes.java:146-155) — rows are shard-local
     thr_cell = ims[g_i[:, None], g_j]  # [P, K]
@@ -193,6 +197,9 @@ def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool):
     fn = _PROGRAMS.get(key)
     if fn is not None:
         return fn
+
+    if mesh.size == 1:
+        axis = None  # identity collectives in _bbh_local
 
     rep3 = (P(None), P(None), P(None))
     out_specs = (
@@ -252,12 +259,17 @@ def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool):
             P(axis, None, None),
         ) + rep3
 
-    fn = jax.jit(
-        jax.shard_map(
-            local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False,
+    if mesh.size == 1:
+        # Single-device: plain jit with identity collectives (axis=None
+        # inside _bbh_local) — see ops/candidate.py _extract_program.
+        fn = jax.jit(local)
+    else:
+        fn = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
         )
-    )
     _PROGRAMS[key] = fn
     return fn
 
@@ -285,6 +297,18 @@ def compute_network_device(
     )
     from pandelos_tpu.ops.score import pad_profiles
 
+    import os
+    import time
+
+    _trace = os.environ.get("PT_TIMING") == "1"
+    _t0 = time.monotonic()
+
+    def _mark(label):
+        nonlocal _t0
+        if _trace:
+            print(f"[pt:bbh] {label}: {time.monotonic()-_t0:.2f}s", flush=True)
+            _t0 = time.monotonic()
+
     config = config or PipelineConfig()
     G = index.n_sequences
     if G == 0 or index.profile_ids.size == 0:
@@ -298,6 +322,7 @@ def compute_network_device(
 
     sig_mass, _, _ = build_signatures(index, padded, config)
     runner = get_runner(index, padded, sig_mass, config)
+    _mark("setup(sig+runner)")
 
     widths = np.diff(index.profile_ptr)
     perm = np.argsort(widths, kind="stable").astype(np.int32)
@@ -330,6 +355,7 @@ def compute_network_device(
         K = _next_pow2(int(counts_h[over].max()))
         if K > 1024:
             return None  # pathological: use the host cells path
+    _mark(f"extract(K={K})")
 
     if use_pallas:
         pair_cap, chunk = runner.pair_capacity(counts_h, K)
@@ -337,6 +363,7 @@ def compute_network_device(
             grow_d, cand_d, counts_d, K, pair_cap, chunk
         )[2:]
         # (pi, pj are implicit in the [rows, K] re-expansion)
+        _mark(f"flatten_join(pair_cap={pair_cap})")
 
     # gene -> global row position (consistent with all_gather row order)
     inv_perm = np.zeros(G_pad, dtype=np.int32)
@@ -374,6 +401,7 @@ def compute_network_device(
         if int(n_edges_h.max(initial=0)) <= edge_cap:
             break
         edge_cap = _next_pow2(int(n_edges_h.max()))
+    _mark(f"bbh(edge_cap={edge_cap})")
 
     e_row = runner.fetch(e_row)
     keep = e_row >= 0
@@ -385,6 +413,7 @@ def compute_network_device(
     e_tr = runner.fetch(e_tr)[keep].astype(np.float32)
     e_acc = runner.fetch(e_acc)[keep]
     ims_h = runner.fetch(ims)
+    _mark(f"fetch(edges={int(keep.sum())})")
 
     # host-exact f32 scores + canonical dedup (PangeneNet.java:167-174)
     scores = e_inter.astype(np.float32) / e_union.astype(np.float32)

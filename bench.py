@@ -50,12 +50,49 @@ def _device_healthy(timeout_s: float = 150.0) -> bool:
         return False
 
 
+def _watchdog_main() -> int:
+    """Run the real bench in a child process under a deadline: the remote
+    TPU tunnel can stall mid-execution (not just at init), and a hung
+    bench would otherwise eat the whole driver round.  On timeout the
+    child is killed and the bench reruns on CPU (device_note marks it)."""
+    import subprocess
+
+    deadline = float(os.environ.get("BENCH_TIMEOUT_S", "1500"))
+    env = dict(os.environ, BENCH_INNER="1")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            timeout=deadline, env=env, capture_output=True, text=True,
+        )
+        if proc.returncode == 0 and proc.stdout.strip():
+            print(proc.stdout.strip().splitlines()[-1])
+            return 0
+        note = f"device bench failed rc={proc.returncode}"
+        sys.stderr.write(proc.stderr[-2000:])
+    except subprocess.TimeoutExpired:
+        note = f"device bench exceeded {deadline:.0f}s (tunnel stall?)"
+    env.update(
+        JAX_PLATFORMS="cpu",
+        BENCH_PRESET=os.environ.get("BENCH_PRESET_FALLBACK", "toy"),
+        BENCH_DEVICE_NOTE=note,
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        timeout=deadline, env=env, capture_output=True, text=True,
+    )
+    if proc.stdout.strip():
+        print(proc.stdout.strip().splitlines()[-1])
+        return 0
+    sys.stderr.write(proc.stderr[-2000:])
+    return 1
+
+
 def main() -> int:
     from pandelos_tpu.utils.jaxenv import enable_compilation_cache
 
     enable_compilation_cache()
 
-    device_note = None
+    device_note = os.environ.get("BENCH_DEVICE_NOTE") or None
     if not _device_healthy():
         # accelerator unreachable: fall back to CPU so the bench always
         # reports (marked in extra.device_note)
@@ -212,4 +249,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("BENCH_INNER") == "1":
+        sys.exit(main())
+    sys.exit(_watchdog_main())

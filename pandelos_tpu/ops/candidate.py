@@ -536,11 +536,18 @@ class MeshRunner:
         self._all_pair = None
 
     # --- placement helpers ---------------------------------------------
+    # Single-device: plain placement, no NamedSharding.  The remote-TPU
+    # backend executes plain-jit programs fine but stalls on
+    # mesh-sharding-committed executions (see _extract_program).
     def _replicate(self, arr):
+        if self.n_dev == 1:
+            return jax.device_put(arr, self.mesh.devices.flat[0])
         spec = self._P(*([None] * arr.ndim))
         return jax.device_put(arr, self._NS(self.mesh, spec))
 
     def _shard0(self, arr):
+        if self.n_dev == 1:
+            return jax.device_put(arr, self.mesh.devices.flat[0])
         spec = self._P(self.axis, *([None] * (arr.ndim - 1)))
         return jax.device_put(arr, self._NS(self.mesh, spec))
 
@@ -559,11 +566,14 @@ class MeshRunner:
         """Replicated packed [G_pad, 2W] (ids || counts) for the join —
         concatenated ON device (never re-crosses the host link)."""
         if self._all_pair is None:
-            spec = self._P(None, None)
-            self._all_pair = jax.jit(
-                lambda a, b: jnp.concatenate([a, b], axis=1),
-                out_shardings=self._NS(self.mesh, spec),
-            )(self.all_ids, self.all_counts)
+            cat = lambda a, b: jnp.concatenate([a, b], axis=1)
+            if self.n_dev == 1:
+                self._all_pair = jax.jit(cat)(self.all_ids, self.all_counts)
+            else:
+                spec = self._P(None, None)
+                self._all_pair = jax.jit(
+                    cat, out_shardings=self._NS(self.mesh, spec)
+                )(self.all_ids, self.all_counts)
         return self._all_pair
 
     # --- extraction ------------------------------------------------------
@@ -571,8 +581,15 @@ class MeshRunner:
         """Round-robin global starts layout: original block t goes to
         position (t % n_dev) * S + (t // n_dev), so every shard gets an
         even mix of the width spectrum; padding is the inert start
-        (an all-padding block that emits zero candidates)."""
+        (an all-padding block that emits zero candidates).
+
+        Single device needs no balance padding: the exact block list runs
+        as-is (pow2 rounding would add up to ~2x inert full-cost blocks;
+        program variants stay bounded because the block count is fixed
+        per dataset)."""
         n = len(starts)
+        if self.n_dev == 1:
+            return np.asarray(starts, np.int32)
         S = _next_pow2(max(1, -(-n // self.n_dev)))
         sg = np.full(S * self.n_dev, inert, dtype=np.int32)
         t = np.arange(n)

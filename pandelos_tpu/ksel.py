@@ -15,12 +15,24 @@ from typing import Iterable, Tuple
 
 
 def residue_census(sequences: Iterable[str]) -> Tuple[int, Counter]:
-    counts: Counter = Counter()
-    total = 0
-    for seq in sequences:
-        total += len(seq)
-        counts.update(seq)
-    return total, counts
+    seqs = sequences if isinstance(sequences, (list, tuple)) else list(sequences)
+    try:
+        blob = "".join(seqs).encode("latin-1")
+    except UnicodeEncodeError:
+        # non-latin-1 residues: generic per-string path
+        counts: Counter = Counter()
+        total = 0
+        for seq in seqs:
+            total += len(seq)
+            counts.update(seq)
+        return total, counts
+    import numpy as np
+
+    hist = np.bincount(np.frombuffer(blob, dtype=np.uint8), minlength=256)
+    counts = Counter(
+        {chr(i): int(hist[i]) for i in np.flatnonzero(hist)}
+    )
+    return len(blob), counts
 
 
 def select_k(sequences: Iterable[str]) -> int:

@@ -27,8 +27,16 @@ struct Entry {
     uint32_t gene;
 };
 
+// Direct bucket histogram over the full base^k keyspace: one count pass,
+// one in-place exclusive prefix, one stable scatter of gene ids.  Replaces
+// the multi-pass LSD radix sort whenever the keyspace fits in memory
+// (protein alphabets: 20^6 = 64M buckets = 256 MB) — ~3x fewer passes over
+// the 100+ MB entry stream than the byte-wise radix.  The reference sorts
+// the same stream with 8-bit LSD passes (ig/native/library.cpp:270-278).
+constexpr int64_t kBucketMax = (int64_t)1 << 28;
+
 // LSD radix sort over the 64-bit key, 8 bits per pass; passes over leading
-// zero bytes are skipped.
+// zero bytes are skipped.  Fallback for keyspaces past kBucketMax.
 void radix_sort_by_key(std::vector<Entry>& v, uint64_t max_key) {
     std::vector<Entry> tmp(v.size());
     int passes = 0;
@@ -88,7 +96,14 @@ int pt_build_index(const uint8_t* concat, int64_t total_len,
         int64_t len = offsets[s + 1] - offsets[s];
         if (len >= k) n_windows += len - k + 1;
     }
-    std::vector<Entry> entries(n_windows);
+    const bool bucket_path =
+        max_key < (uint64_t)kBucketMax && n_windows < (int64_t)UINT32_MAX;
+    std::vector<Entry> entries;     // radix path: (key, gene)
+    std::vector<uint32_t> keys32;   // bucket path: keys only (gene implied
+    if (bucket_path)                // by window position — windows are
+        keys32.resize(n_windows);   // gene-major)
+    else
+        entries.resize(n_windows);
     uint64_t top_mult = 1;  // base^(k-1)
     for (int i = 0; i < k - 1; i++) top_mult *= base;
 
@@ -109,11 +124,20 @@ int pt_build_index(const uint8_t* concat, int64_t total_len,
             uint64_t key = 0;
             for (int64_t i = 0; i < k; i++)
                 key = key * base + rank_values[concat[beg + i]];
-            entries[out++] = {key, (uint32_t)s};
-            for (int64_t i = beg + k; i < end; i++) {
-                key = (key - rank_values[concat[i - k]] * top_mult) * base +
-                      rank_values[concat[i]];
+            if (bucket_path) {
+                keys32[out++] = (uint32_t)key;
+                for (int64_t i = beg + k; i < end; i++) {
+                    key = (key - rank_values[concat[i - k]] * top_mult) *
+                              base + rank_values[concat[i]];
+                    keys32[out++] = (uint32_t)key;
+                }
+            } else {
                 entries[out++] = {key, (uint32_t)s};
+                for (int64_t i = beg + k; i < end; i++) {
+                    key = (key - rank_values[concat[i - k]] * top_mult) *
+                              base + rank_values[concat[i]];
+                    entries[out++] = {key, (uint32_t)s};
+                }
             }
         }
     };
@@ -130,14 +154,7 @@ int pt_build_index(const uint8_t* concat, int64_t total_len,
         fill_range(0, n_seq);
     }
 
-    // --- sort by key only: entries were generated gene-major, and the
-    // LSD radix passes are stable, so equal keys stay gene-ordered with
-    // duplicate (key, gene) runs adjacent — no gene sort needed.
-    radix_sort_by_key(entries, max_key);
-
-    // --- linear pass: (key, gene) runs -> entries with counts; key groups
-    // with >= 2 entries get a dense shared id; costs accrue group size.
-    const int64_t n = (int64_t)entries.size();
+    const int64_t n = n_windows;
     std::vector<uint32_t> e_gene;
     std::vector<int32_t> e_sid;
     std::vector<int32_t> e_count;
@@ -148,24 +165,12 @@ int pt_build_index(const uint8_t* concat, int64_t total_len,
     int64_t total_vocab = 0;
     int64_t vocab_size = 0;
 
-    int64_t i = 0;
+    // One multiset group = all (gene, count) runs sharing a k-mer;
+    // groups on >= 2 genes get a dense shared id and charge each member
+    // `group size` lookups (library.cpp:308,327).
     std::vector<uint32_t> grp_gene;
     std::vector<int32_t> grp_count;
-    while (i < n) {
-        const uint64_t key = entries[i].key;
-        grp_gene.clear();
-        grp_count.clear();
-        int64_t j = i;
-        while (j < n && entries[j].key == key) {
-            const uint32_t g = entries[j].gene;
-            int32_t c = 0;
-            while (j < n && entries[j].key == key && entries[j].gene == g) {
-                c++;
-                j++;
-            }
-            grp_gene.push_back(g);
-            grp_count.push_back(c);
-        }
+    auto emit_group = [&]() {
         total_vocab++;
         const int64_t gsize = (int64_t)grp_gene.size();
         if (gsize >= 2) {
@@ -177,7 +182,72 @@ int pt_build_index(const uint8_t* concat, int64_t total_len,
                 costs[grp_gene[t]] += gsize;
             }
         }
-        i = j;
+        grp_gene.clear();
+        grp_count.clear();
+    };
+
+    if (bucket_path) {
+        // --- bucket path: count -> exclusive prefix (in place) -> stable
+        // scatter of gene ids.  Windows were generated gene-major, so each
+        // bucket holds its genes in ascending runs without any comparison
+        // sort.
+        const int64_t n_buckets = (int64_t)max_key + 1;
+        std::vector<uint32_t> off(n_buckets, 0);
+        for (int64_t i = 0; i < n; i++) off[keys32[i]]++;
+        uint32_t run = 0;
+        for (int64_t b = 0; b < n_buckets; b++) {
+            const uint32_t c = off[b];
+            off[b] = run;
+            run += c;
+        }
+        std::vector<uint32_t> sorted_gene(n);
+        for (int64_t s = 0; s < n_seq; s++) {
+            for (int64_t w = win_off[s]; w < win_off[s + 1]; w++)
+                sorted_gene[off[keys32[w]]++] = (uint32_t)s;
+        }
+        // post-scatter, off[b] == end of bucket b
+        uint32_t beg = 0;
+        for (int64_t b = 0; b < n_buckets; b++) {
+            const uint32_t end = off[b];
+            if (end > beg) {
+                uint32_t i = beg;
+                while (i < end) {
+                    const uint32_t g = sorted_gene[i];
+                    int32_t c = 0;
+                    while (i < end && sorted_gene[i] == g) {
+                        c++;
+                        i++;
+                    }
+                    grp_gene.push_back(g);
+                    grp_count.push_back(c);
+                }
+                emit_group();
+            }
+            beg = end;
+        }
+    } else {
+        // --- radix path (keyspace too large to bucket directly): sort by
+        // key only — entries were generated gene-major and the LSD passes
+        // are stable, so equal keys stay gene-ordered with duplicate
+        // (key, gene) runs adjacent.
+        radix_sort_by_key(entries, max_key);
+        int64_t i = 0;
+        while (i < n) {
+            const uint64_t key = entries[i].key;
+            int64_t j = i;
+            while (j < n && entries[j].key == key) {
+                const uint32_t g = entries[j].gene;
+                int32_t c = 0;
+                while (j < n && entries[j].key == key && entries[j].gene == g) {
+                    c++;
+                    j++;
+                }
+                grp_gene.push_back(g);
+                grp_count.push_back(c);
+            }
+            emit_group();
+            i = j;
+        }
     }
 
     // --- CSR by gene (stable counting sort; sid stays ascending per gene)

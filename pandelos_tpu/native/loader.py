@@ -153,14 +153,20 @@ def native_build_index(concat: np.ndarray, offsets: np.ndarray, k: int):
     if rc != 0:
         return None  # -2: key overflow -> NumPy wide-key fallback
 
+    def _take(p, count, dtype):
+        # ctypes.string_at is one memcpy; np.ctypeslib.as_array would build
+        # a count-element ctypes array TYPE first (~1s per 14M elements).
+        nbytes = count * np.dtype(dtype).itemsize
+        return np.frombuffer(
+            ctypes.string_at(p, nbytes), dtype=dtype
+        ).copy() if count else np.zeros(0, dtype=dtype)
+
     try:
-        ptr = np.ctypeslib.as_array(p_ptr, shape=(n_seq + 1,)).copy()
         n = int(nnz.value)
-        ids = np.ctypeslib.as_array(p_ids, shape=(max(n, 1),))[:n].copy()
-        cnts = np.ctypeslib.as_array(p_cnt, shape=(max(n, 1),))[:n].copy()
-        costs = np.ctypeslib.as_array(p_cost, shape=(max(n_seq, 1),))[
-            :n_seq
-        ].copy()
+        ptr = _take(p_ptr, n_seq + 1, np.int64)
+        ids = _take(p_ids, n, np.int32)
+        cnts = _take(p_cnt, n, np.int32)
+        costs = _take(p_cost, n_seq, np.int64)
     finally:
         lib.pt_free(p_ptr)
         lib.pt_free(p_ids)

@@ -227,10 +227,10 @@ def cluster_network(
             family_size_distr={},
         )
 
-    arr = np.asarray(edges, dtype=np.float64)
-    ea = arr[:, 0].astype(np.int64)
-    eb = arr[:, 1].astype(np.int64)
-    ew = arr[:, 2]
+    from pandelos_tpu.io.net import EdgeList
+
+    el = EdgeList.from_any(edges)
+    ea, eb, ew = el.a, el.b, el.w
     seen = np.zeros(n_sequences, dtype=bool)
     seen[ea] = True
     seen[eb] = True

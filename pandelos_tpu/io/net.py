@@ -18,6 +18,58 @@ from typing import List, Tuple
 import numpy as np
 
 
+class EdgeList:
+    """Array-backed undirected edge sequence.
+
+    Iterates as (src, dst, score) tuples for drop-in compatibility with the
+    tuple-list representation, but producers/consumers on the hot path
+    (network build, clustering, .net writer) use the ``a/b/w`` arrays
+    directly — at 1M+ edges the tuple materialisation alone costs ~1s."""
+
+    __slots__ = ("a", "b", "w")
+
+    def __init__(self, a, b, w):
+        self.a = np.asarray(a, dtype=np.int64)
+        self.b = np.asarray(b, dtype=np.int64)
+        self.w = np.asarray(w, dtype=np.float64)
+
+    @staticmethod
+    def from_any(edges) -> "EdgeList":
+        if isinstance(edges, EdgeList):
+            return edges
+        if len(edges) == 0:
+            return EdgeList(
+                np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.float64),
+            )
+        arr = np.asarray(edges, dtype=np.float64)
+        return EdgeList(
+            arr[:, 0].astype(np.int64), arr[:, 1].astype(np.int64), arr[:, 2]
+        )
+
+    def __len__(self) -> int:
+        return int(self.a.shape[0])
+
+    def __iter__(self):
+        return zip(self.a.tolist(), self.b.tolist(), self.w.tolist())
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return EdgeList(self.a[i], self.b[i], self.w[i])
+        return (int(self.a[i]), int(self.b[i]), float(self.w[i]))
+
+    def __eq__(self, other):
+        if isinstance(other, EdgeList):
+            return (
+                np.array_equal(self.a, other.a)
+                and np.array_equal(self.b, other.b)
+                and np.array_equal(self.w, other.w)
+            )
+        if isinstance(other, (list, tuple)):
+            return list(self) == list(other)
+        return NotImplemented
+
+
 def java_double_str(v: float) -> str:
     """Java ``Double.toString`` rendering of a double.
 
@@ -51,30 +103,53 @@ def java_double_str(v: float) -> str:
 def write_net(path: str, edges) -> None:
     """Write edges as (src, dst, score) with src <= dst, sorted.
 
-    ``edges`` is an iterable of (int, int, float-like).  Scores are widened
-    from f32 to double before printing, matching the reference writer.
-    """
-    canon = {}
-    for a, b, s in edges:
-        a, b = int(a), int(b)
-        if a > b:
-            a, b = b, a
-        canon[(a, b)] = float(np.float32(s))
+    ``edges`` is an EdgeList or iterable of (int, int, float-like).  Scores
+    are widened from f32 to double before printing, matching the reference
+    writer; on duplicate (src, dst) the LAST score wins (the dict overwrite
+    in PangeneNet's adjacency)."""
+    el = EdgeList.from_any(edges)
+    if len(el) == 0:
+        open(path, "w").close()
+        return
+    a = np.minimum(el.a, el.b)
+    b = np.maximum(el.a, el.b)
+    w32 = el.w.astype(np.float32)
+    key = (a << np.int64(32)) | b
+    # last occurrence wins: unique-first over the reversed stream
+    _, first_rev = np.unique(key[::-1], return_index=True)
+    sel = len(key) - 1 - first_rev  # ascending (a, b) order
+    # java_double_str is pure-Python; scores repeat heavily (small-integer
+    # rationals), so format each distinct f32 value once and map back
+    uvals, inv = np.unique(w32[sel], return_inverse=True)
+    suffix = ["\t" + java_double_str(v) + "\n" for v in uvals.tolist()]
+    rows = [
+        f"{x}\t{y}{suffix[i]}"
+        for x, y, i in zip(a[sel].tolist(), b[sel].tolist(), inv.tolist())
+    ]
     with open(path, "w") as fh:
-        for (a, b) in sorted(canon):
-            fh.write(f"{a}\t{b}\t{java_double_str(canon[(a, b)])}\n")
+        fh.write("".join(rows))
 
 
-def read_net(path: str) -> List[Tuple[int, int, float]]:
-    edges = []
-    with open(path, "r") as fh:
-        for line in fh:
-            line = line.strip()
-            if not line:
-                continue
-            cols = line.split("\t")
-            edges.append((int(cols[0]), int(cols[1]), float(cols[2])))
-    return edges
+def read_net(path: str) -> EdgeList:
+    try:
+        data = np.loadtxt(path, delimiter="\t", dtype=np.float64, ndmin=2)
+    except ValueError:
+        data = None
+    if data is None:
+        edges = []
+        with open(path, "r") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                cols = line.split("\t")
+                edges.append((int(cols[0]), int(cols[1]), float(cols[2])))
+        return EdgeList.from_any(edges)
+    if data.size == 0:
+        return EdgeList.from_any([])
+    return EdgeList(
+        data[:, 0].astype(np.int64), data[:, 1].astype(np.int64), data[:, 2]
+    )
 
 
 def canonical_edge_set(edges) -> dict:

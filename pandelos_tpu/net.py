@@ -154,7 +154,9 @@ def build_network(
     # look up each edge's score from M: score(a,b) == M[a, genome(b)] for
     # inter-BBH edges by construction; for intra edges score == M[a, g].
     escore = M[ea, seq_genome[eb].astype(np.int64)]
-    edges = list(zip(ea.tolist(), eb.tolist(), escore.astype(float).tolist()))
+    from pandelos_tpu.io.net import EdgeList
+
+    edges = EdgeList(ea, eb, escore.astype(np.float64))
 
     # Diagnostic stats in the spirit of Pangenes.java:130-143 (print-only in
     # the reference), structured here: per-genome-pair accepted-score

@@ -420,11 +420,14 @@ def compute_network_device(
     a = np.minimum(e_row, e_col)
     b = np.maximum(e_row, e_col)
     key = (a << np.int64(32)) | b
-    _, first = np.unique(key, return_index=True)
-    edges = [
-        (int(a[t]), int(b[t]), float(scores[t])) for t in sorted(first)
-    ]
-    edges.sort()
+    uk, first = np.unique(key, return_index=True)
+    from pandelos_tpu.io.net import EdgeList
+
+    edges = EdgeList(
+        uk >> np.int64(32),
+        uk & np.int64(0xFFFFFFFF),
+        scores[first].astype(np.float64),
+    )
 
     # genome-pair statistics from the shipped accepted cells — the same
     # aggregates the host path produces (net.py build_network, mirroring

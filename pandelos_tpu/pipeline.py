@@ -210,9 +210,10 @@ def run_pipeline(
 
     # degree distribution of the similarity network (the reference prints
     # it after network construction, Pangenes.java:202-219)
-    n_e = len(net.edges)
-    ea = np.fromiter((e[0] for e in net.edges), np.int64, n_e)
-    eb = np.fromiter((e[1] for e in net.edges), np.int64, n_e)
+    from pandelos_tpu.io.net import EdgeList
+
+    _el = EdgeList.from_any(net.edges)
+    ea, eb = _el.a, _el.b
     deg = np.bincount(ea, minlength=ds.n_sequences)
     deg += np.bincount(eb[eb != ea], minlength=ds.n_sequences)
     deg_vals, deg_cnts = np.unique(deg, return_counts=True)

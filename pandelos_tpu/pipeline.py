@@ -127,7 +127,7 @@ def run_pipeline(
         from pandelos_tpu import reference as refmod
 
         t = time.monotonic()
-        cells = compute_cells_oracle(index)
+        cells = refmod.compute_cells_reference(ds.sequences, k)
         times["score"] = time.monotonic() - t
         t = time.monotonic()
         fcells = refmod.finalize_cells_reference(cells, index.kseq_lengths, k)

@@ -20,10 +20,12 @@ This module intentionally shares NO code with the production path
 ``.clus`` outputs is the repo's substitute for running the reference's
 Java pipeline (no JVM in this environment).  See VERDICT r1 "next #6".
 
-Integer cells come from :func:`pandelos_tpu.oracle.cells.compute_cells_oracle`
-— the vocabulary-major posting-list walk that mirrors the reference's
-inverted index (``library.cpp:297-335``) and is itself differentially
-tested against a dict-based brute force (``tests/reference_impl.py``).
+Integer cells come from :func:`compute_cells_reference` below — a
+dict-based posting-list walk built from the RAW SEQUENCES, sharing no code
+with either the index builder (``index.py`` / ``native/host_index.cpp``) or
+the vectorized oracle (``oracle/cells.py``), so a systematic bug in the
+shared cells stage cannot hide from the five-backend golden tests
+(VERDICT r2 weak #4).
 """
 
 from __future__ import annotations
@@ -33,6 +35,76 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from pandelos_tpu.oracle.cells import ScoreCells
+
+
+def compute_cells_reference(sequences, k: int) -> ScoreCells:
+    """Independent integer-cell computation, transcribed from the native
+    kernel's structure (``library.cpp:409-527``): per-gene k-mer multisets
+    (``do_ranking``, :134-150, here on raw k-mer strings instead of packed
+    ranks), postings restricted to k-mers with >= 2 (gene, k-mer) entries
+    (:308), then a per-row posting walk with dense color-stamped
+    accumulators (:437-487).
+
+    Pure Python dicts/lists end to end — deliberately shares no code or
+    data layout with ``index.py`` / ``oracle/cells.py``.  Costs one Python
+    iteration per reference "lookup", so it is usable to ~10^7-10^8
+    lookups (mid-scale datasets; large goldens regenerate offline)."""
+    n = len(sequences)
+    multis: List[Dict[str, int]] = []
+    for s in sequences:
+        d: Dict[str, int] = {}
+        for i in range(len(s) - k + 1):
+            km = s[i : i + k]
+            d[km] = d.get(km, 0) + 1
+        multis.append(d)
+
+    postings: Dict[str, list] = {}
+    for g, m in enumerate(multis):
+        for km, c in m.items():
+            postings.setdefault(km, []).append((g, c))
+    postings = {km: lst for km, lst in postings.items() if len(lst) >= 2}
+
+    inter = [0] * n
+    perc = [0] * n
+    tr = [0] * n
+    stamped = [False] * n
+    rows: List[int] = []
+    cols: List[int] = []
+    inter_out: List[int] = []
+    perc_out: List[int] = []
+    tr_out: List[int] = []
+    for i, m in enumerate(multis):
+        touched: List[int] = []
+        for km, ci in m.items():
+            lst = postings.get(km)
+            if lst is None:
+                continue
+            for gj, cj in lst:
+                if gj == i:
+                    continue
+                if not stamped[gj]:
+                    stamped[gj] = True
+                    touched.append(gj)
+                inter[gj] += cj if cj < ci else ci
+                perc[gj] += ci
+                tr[gj] += cj
+        touched.sort()
+        for gj in touched:
+            rows.append(i)
+            cols.append(gj)
+            inter_out.append(inter[gj])
+            perc_out.append(perc[gj])
+            tr_out.append(tr[gj])
+            inter[gj] = perc[gj] = tr[gj] = 0
+            stamped[gj] = False
+
+    return ScoreCells(
+        np.asarray(rows, dtype=np.int32),
+        np.asarray(cols, dtype=np.int32),
+        np.asarray(inter_out, dtype=np.int64),
+        np.asarray(perc_out, dtype=np.int64),
+        np.asarray(tr_out, dtype=np.int64),
+    )
 
 
 def finalize_cells_reference(

@@ -21,6 +21,9 @@ CASES = [
     ("toy", os.path.join(DATA, "toy.faa")),
     ("synth_small", os.path.join(GOLDEN, "synth_small.faa")),
     ("synth_edge", os.path.join(GOLDEN, "synth_edge.faa")),
+    # v2 realistic data: empirical residue frequencies, indels, per-family
+    # divergence spread, paralog tail (scripts/regen_goldens.py)
+    ("synth_real", os.path.join(GOLDEN, "synth_real.faa")),
 ]
 
 

@@ -677,6 +677,46 @@ def get_runner(index: KmerIndex, padded, sig_mass, config) -> MeshRunner:
     return runner
 
 
+def work_model(
+    index: KmerIndex, config: Optional[PipelineConfig] = None
+) -> dict:
+    """Analytic device-work model for one full pallas-path scoring pass
+    (VERDICT r2 next #8: 'is it actually fast for a TPU' needs a FLOP
+    number, not lookups/s alone).
+
+    - ``bound_matmul_flops``: the two signature-bound matmuls per row
+      block, [R, B] x [B, G_pad] bf16 -> f32 on the MXU
+      (2 matmuls x 2 flops/MAC).
+    - ``join_ops_per_pair``: VPU compare-and-accumulate lanes per candidate
+      pair in the compare-and-rotate join — W^2 id compares plus the min /
+      two masked adds per element (~4 vector ops each).  Multiply by the
+      runtime pair count for the total.
+    """
+    from pandelos_tpu.ops.pallas_hist import pick_buckets
+
+    config = config or PipelineConfig()
+    G = index.n_sequences
+    if G == 0:
+        return {"bound_matmul_flops": 0, "join_ops_per_pair": 0}
+    row_block = min(config.row_block, _round_up(G, 8))
+    col_block = min(config.col_block, _round_up(G, 128))
+    W = max(128, _round_up(max(1, index.max_profile_len), 128))
+    G_pad = _round_up(G + 1, max(row_block, col_block))
+    B, _ = pick_buckets(
+        index.vocab_size, max(1, index.max_profile_len), index.k,
+        n_genes=G_pad,
+    )
+    n_blocks = -(-G // row_block)
+    rows = n_blocks * row_block
+    return {
+        "bound_matmul_flops": float(4.0 * rows * B * G_pad),
+        "join_ops_per_pair": float(4.0 * W * W),
+        "signature_buckets": int(B),
+        "padded_width": int(W),
+        "padded_genes": int(G_pad),
+    }
+
+
 def compute_cells_candidate(
     index: KmerIndex, config: Optional[PipelineConfig] = None
 ) -> ScoreCells:

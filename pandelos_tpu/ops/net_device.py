@@ -201,13 +201,6 @@ def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool):
     if mesh.size == 1:
         axis = None  # identity collectives in _bbh_local
 
-    rep3 = (P(None), P(None), P(None))
-    out_specs = (
-        (P(axis),) * 7
-        + (P(axis), P(axis))
-        + (P(None, None),)  # ims: pmax-merged, device-invariant
-    )
-
     if flat:
         def local(grow_l, cand_l, counts_l, fi, fp, ft, fv,
                   inv_perm, lens, genome_of):
@@ -230,12 +223,6 @@ def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool):
                 inv_perm, lens, genome_of, axis, n_gen, edge_cap,
             )
 
-        in_specs = (
-            P(axis, None),        # grow
-            P(axis, None, None),  # cand
-            P(axis, None),        # counts
-            P(axis), P(axis), P(axis), P(axis),  # flat counters + valid
-        ) + rep3
     else:
         def local(grow_l, cand_l, inter_l, perc_l, tr_l, valid_l,
                   inv_perm, lens, genome_of):
@@ -250,20 +237,33 @@ def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool):
                 inv_perm, lens, genome_of, axis, n_gen, edge_cap,
             )
 
-        in_specs = (
-            P(axis, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None, None),
-        ) + rep3
-
     if mesh.size == 1:
         # Single-device: plain jit with identity collectives (axis=None
         # inside _bbh_local) — see ops/candidate.py _extract_program.
         fn = jax.jit(local)
     else:
+        rep3 = (P(None), P(None), P(None))
+        if flat:
+            in_specs = (
+                P(axis, None),        # grow
+                P(axis, None, None),  # cand
+                P(axis, None),        # counts
+                P(axis), P(axis), P(axis), P(axis),  # flat counters + valid
+            ) + rep3
+        else:
+            in_specs = (
+                P(axis, None),
+                P(axis, None, None),
+                P(axis, None, None),
+                P(axis, None, None),
+                P(axis, None, None),
+                P(axis, None, None),
+            ) + rep3
+        out_specs = (
+            (P(axis),) * 7
+            + (P(axis), P(axis))
+            + (P(None, None),)  # ims: pmax-merged, device-invariant
+        )
         fn = jax.jit(
             jax.shard_map(
                 local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -442,6 +442,11 @@ def compute_network_device(
         "n_inter_edges": int(inter_keys.size),
         "n_intra_edges": int(intra_keys.size),
         "n_edges": len(edges),
+        # ordered candidate pairs actually joined (work-model input for
+        # the bench's VPU join-op accounting)
+        "n_joined_pairs": int(
+            np.minimum(counts_h, K)[grow_h < G].sum(dtype=np.int64)
+        ),
         "device_bbh": True,
         "n_devices": runner.n_dev,
     }

@@ -1,4 +1,4 @@
-from pandelos_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh,
-    sharded_score_step,
+from pandelos_tpu.parallel.distributed import (  # noqa: F401
+    initialize_from_env,
+    is_primary,
 )

@@ -48,15 +48,6 @@ def initialize_from_env() -> dict:
     }
 
 
-def global_mesh(axes=("hosts", "rows")):
-    """Global 2-level mesh: process axis x local-device axis."""
-    from pandelos_tpu.parallel.mesh import make_mesh_2d
-
-    n_local = len(jax.local_devices())
-    n_procs = max(1, len(jax.devices()) // max(1, n_local))
-    return make_mesh_2d(n_procs, n_local, axes=axes)
-
-
 def is_primary() -> bool:
     """True on the process that should write outputs."""
     try:

@@ -135,6 +135,70 @@ def test_native_gn_split_matches_networkx():
         assert got == want, trial
 
 
+def test_networkx_order_semantics_canary():
+    """Loud canary for networkx upgrades (VERDICT r2 weak #6).
+
+    The C++ Brandes core and ``cluster.py``'s order machinery
+    (``_copy_scan_edges_np``, ``_split_colliding_native``) mirror
+    networkx-3.x INTERNALS: CPython set iteration order,
+    ``FilterAtlas.__iter__`` branch thresholds, ``Graph.copy()`` scan
+    order, and the first-max tie rule of ``max()`` over ``G.edges()``.
+    Those are implementation details, not API — a networkx upgrade can
+    silently change them and flip GN splits.  pyproject.toml pins
+    networkx<4; this test re-verifies the order contract on a mid-size
+    randomized component and names the machinery to update on failure."""
+    import networkx as nx
+
+    from pandelos_tpu.cluster import _copy_scan_edges_np
+    from pandelos_tpu.native.loader import native_available, native_gn_split
+
+    msg = (
+        "networkx order semantics changed (version %s): the bit-parity "
+        "machinery in cluster.py:94-203 and native/host_index.cpp "
+        "pt_gn_split mirrors networkx-3.x internals. Re-derive the copy-"
+        "scan/tie rules against this networkx and update the pyproject "
+        "pin." % nx.__version__
+    )
+    assert int(nx.__version__.split(".")[0]) == 3, msg
+    if not native_available():
+        pytest.skip("native core unavailable")
+
+    rng = np.random.default_rng(2024)
+    G = nx.gnp_random_graph(120, 0.06, seed=4242)
+    edges = list(G.edges())
+    rng.shuffle(edges)
+    node_order, lid = [], {}
+    for e in edges:
+        for x in e:
+            if x not in lid:
+                lid[x] = len(node_order)
+                node_order.append(x)
+    H = nx.Graph()
+    H.add_nodes_from(node_order)
+    H.add_edges_from(edges)
+    want = sorted(
+        tuple(sorted(c))
+        for c in next(nx.algorithms.community.centrality.girvan_newman(H))
+    )
+    le = np.asarray([[lid[u], lid[v]] for u, v in edges], np.int64)
+    dsrc = np.empty(2 * len(edges), np.int64)
+    dsrc[0::2] = le[:, 0]
+    dsrc[1::2] = le[:, 1]
+    ddst = np.empty_like(dsrc)
+    ddst[0::2] = le[:, 1]
+    ddst[1::2] = le[:, 0]
+    nn = len(node_order)
+    ou, ov = _copy_scan_edges_np(
+        np.arange(nn, dtype=np.int64), dsrc, ddst, np.full(nn, -1, np.int64)
+    )
+    labels = native_gn_split(nn, ou, ov)
+    got = {}
+    for t, g in enumerate(node_order):
+        got.setdefault(int(labels[t]), []).append(g)
+    got = sorted(tuple(sorted(c)) for c in got.values())
+    assert got == want, msg
+
+
 def _fuzz_graph(rng, with_self_loops=False):
     """Random multi-genome edge list engineered so GN splits recurse."""
     import networkx as nx

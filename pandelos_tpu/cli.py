@@ -43,6 +43,12 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
         help="run BBH network construction on device",
     )
     p.add_argument(
+        "--report",
+        action="store_true",
+        help="also write <out>.report: the netclu per-family "
+        "F{ }/D{ }/S{ } stream (netclu_ng.py:117-138)",
+    )
+    p.add_argument(
         "--distributed",
         action="store_true",
         help="multi-host run: jax.distributed.initialize from the "
@@ -66,6 +72,8 @@ def _config_from_args(args) -> PipelineConfig:
         cfg.n_devices = args.devices
     if getattr(args, "device_bbh", False):
         cfg.device_bbh = True
+    if getattr(args, "report", False):
+        cfg.write_report = True
     return cfg
 
 

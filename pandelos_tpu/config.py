@@ -62,6 +62,9 @@ class PipelineConfig:
     # --- outputs
     write_net: bool = True
     write_clus: bool = True
+    # Also write <out>.report: the netclu per-family F{ }/D{ }/S{ } stream
+    # (netclu_ng.py:117-138) for consumers of the raw netclu output.
+    write_report: bool = False
     # Keep phase checkpoints (.net is the reference's de-facto checkpoint,
     # pandelos.sh:73-76); allows resuming clustering without rescoring.
     checkpoint_dir: Optional[str] = None

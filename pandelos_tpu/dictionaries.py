@@ -266,3 +266,75 @@ class KmerDictionaryIterator:
             self._idx = idx
             return True
         return False
+
+
+class CompleteKmerIterator:
+    """Exhaustive alphabet^k enumerator (the ``CompleteCharIterator``
+    contract, ``CompleteCharIterator.java:1-73``): iterates EVERY k-mer
+    over a given alphabet in lexicographic order — present in a dictionary
+    or not — with ``multiplicity()`` fixed at 1, via an odometer over the
+    last position.
+
+    Differences from the reference, by design: the alphabet is an explicit
+    character sequence instead of a bare code count (the Java odometer
+    counts codes 0..alpha_size INCLUSIVE, enumerating (alpha_size+1)^k
+    words — an off-by-one its dead-code status never surfaced), and
+    ``prev()`` is implemented rather than throwing."""
+
+    def __init__(self, k: int, alphabet: str):
+        if k < 0:
+            raise ValueError("k must be >= 0")
+        if len(set(alphabet)) != len(alphabet):
+            raise ValueError("alphabet has duplicate characters")
+        self.k = k
+        self.alphabet = "".join(sorted(alphabet))
+        self._codes = [0] * k
+        self._exhausted = k == 0 or not alphabet
+
+    def valid(self) -> bool:
+        return not self._exhausted
+
+    def kmer(self) -> str:
+        if self._exhausted:
+            raise StopIteration("iterator exhausted")
+        return "".join(self.alphabet[c] for c in self._codes)
+
+    def multiplicity(self) -> int:
+        return 1
+
+    def next(self) -> bool:
+        """Advance the odometer; returns validity (IWordIterator.next)."""
+        if self._exhausted:
+            return False
+        base = len(self.alphabet)
+        p = self.k - 1
+        while p >= 0:
+            if self._codes[p] == base - 1:
+                self._codes[p] = 0
+                p -= 1
+            else:
+                self._codes[p] += 1
+                return True
+        self._exhausted = True
+        return False
+
+    def prev(self) -> bool:
+        if self._exhausted:
+            return False
+        base = len(self.alphabet)
+        p = self.k - 1
+        while p >= 0:
+            if self._codes[p] == 0:
+                self._codes[p] = base - 1
+                p -= 1
+            else:
+                self._codes[p] -= 1
+                return True
+        self._exhausted = True
+        return False
+
+    def __iter__(self):
+        while self.valid():
+            yield self.kmer()
+            if not self.next():
+                break

@@ -37,6 +37,33 @@ def family_lines(
     return sorted(set(lines))
 
 
+def family_report_lines(
+    families: Sequence[Sequence[int]],
+    names: Sequence[str],
+    descriptions: Sequence[str],
+) -> List[str]:
+    """The netclu per-family report stream around the ``F{ }`` data lines
+    (``netclu_ng.py:117-138``): for every family, its ``F{ }`` members,
+    a ``D{ }`` line with the members' product descriptions in the same
+    order, and an ``S{ }`` line with the distinct descriptions — the
+    reference iterates a Python ``set`` there, so the distinct order is
+    CPython set-iteration order, replicated here by using a real set —
+    followed by the ``-`` separator.  Only ``F{ }`` lines feed ``.clus``
+    (``pandelos.sh:79``); this stream is the rest of the observable
+    netclu output, for users who consume it directly."""
+    out: List[str] = []
+    for fam in families:
+        members = sorted(fam)
+        out.append(
+            "F{ " + " ; ".join(names[f] for f in members) + "}"
+        )
+        descs = [descriptions[f] for f in members]
+        out.append("D{ " + " ; ".join(descs) + "}")
+        out.append("S{ " + " ; ".join(set(descs)) + "}")
+        out.append("-")
+    return out
+
+
 def write_clus(path: str, lines: Sequence[str]) -> None:
     with open(path, "w") as fh:
         for line in lines:

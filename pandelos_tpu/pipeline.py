@@ -207,6 +207,15 @@ def run_pipeline(
 
     if out_prefix and config.write_clus:
         write_clus(out_prefix + ".clus", lines)
+    if out_prefix and config.write_report:
+        from pandelos_tpu.io.clus import family_report_lines
+
+        report = family_report_lines(
+            clusters.families, ds.names, ds.descriptions
+        )
+        report += [f"F{{ {ds.names[g]} }}" for g in clusters.singletons]
+        with open(out_prefix + ".report", "w") as fh:
+            fh.write("\n".join(report) + ("\n" if report else ""))
 
     # degree distribution of the similarity network (the reference prints
     # it after network construction, Pangenes.java:202-219)

@@ -27,6 +27,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # keep source-location metadata out of the cache key: unrelated
+        # source edits must not invalidate 400s-compile executables
+        jax.config.update(
+            "jax_compilation_cache_include_metadata_in_key", False
+        )
     except Exception:
         pass
     _CACHE_SET = True

@@ -139,3 +139,33 @@ def test_wide_k_iteration_matches_bruteforce(k):
         got_children.append(child.kmer())
         child.next()
     assert got_children == want_children
+
+
+def test_complete_kmer_iterator_matches_itertools_product():
+    """CompleteCharIterator contract (C16): every alphabet^k word, in
+    lexicographic order, multiplicity 1."""
+    import itertools
+
+    from pandelos_tpu.dictionaries import CompleteKmerIterator
+
+    for alphabet, k in (("ACGT", 3), ("AB", 5), ("XYZW", 1), ("Q", 4)):
+        it = CompleteKmerIterator(k, alphabet)
+        got = list(it)
+        want = ["".join(t) for t in itertools.product(sorted(alphabet), repeat=k)]
+        assert got == want
+        assert it.multiplicity() == 1
+        assert not it.valid()  # exhausted after the full sweep
+
+
+def test_complete_kmer_iterator_prev_and_edges():
+    from pandelos_tpu.dictionaries import CompleteKmerIterator
+
+    it = CompleteKmerIterator(2, "BA")
+    assert it.kmer() == "AA"
+    assert it.next() and it.kmer() == "AB"
+    assert it.prev() and it.kmer() == "AA"
+    assert not it.prev()  # stepping before the first word exhausts
+    assert not it.valid()
+    # k = 0 and empty alphabets are immediately exhausted
+    assert not CompleteKmerIterator(0, "AC").valid()
+    assert not CompleteKmerIterator(3, "").valid()

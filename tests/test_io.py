@@ -105,3 +105,36 @@ def test_write_net_sub_1e3_scores(tmp_path):
     lines = open(p).read().splitlines()
     assert lines == ["0\t2\t0.25", "1\t3\t4.8828125E-4"]
     assert read_net(p) == [(0, 2, 0.25), (1, 3, s)]
+
+
+def test_family_report_lines_matches_netclu_stream():
+    """F{ }/D{ }/S{ } description stream (netclu_ng.py:117-138): D in
+    sorted-member order, S over a real Python set (CPython set order IS
+    the reference's behaviour)."""
+    from pandelos_tpu.io.clus import family_report_lines
+
+    names = ["g0", "g1", "g2", "g3"]
+    descs = ["hypothetical protein", "ABC transporter",
+             "hypothetical protein", "permease"]
+    lines = family_report_lines([[2, 0], [1, 3]], names, descs)
+    assert lines[0] == "F{ g0 ; g2}"
+    assert lines[1] == "D{ hypothetical protein ; hypothetical protein}"
+    assert lines[2] == "S{ " + " ; ".join({"hypothetical protein"}) + "}"
+    assert lines[3] == "-"
+    assert lines[4] == "F{ g1 ; g3}"
+    assert lines[5] == "D{ ABC transporter ; permease}"
+    assert lines[6] == "S{ " + " ; ".join({"ABC transporter", "permease"}) + "}"
+
+
+def test_pipeline_writes_report(tmp_path):
+    import os
+
+    from pandelos_tpu.config import PipelineConfig
+    from pandelos_tpu.pipeline import run_pipeline
+
+    faa = os.path.join(os.path.dirname(__file__), "data", "toy.faa")
+    prefix = str(tmp_path / "toy")
+    run_pipeline(faa, prefix, PipelineConfig(backend="oracle",
+                                             write_report=True))
+    text = open(prefix + ".report").read()
+    assert "F{ " in text and "D{ " in text and "S{ " in text

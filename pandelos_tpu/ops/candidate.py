@@ -528,8 +528,36 @@ class MeshRunner:
         width_pad = np.zeros(G_pad, dtype=np.int32)
         width_pad[: self.G] = np.diff(index.profile_ptr)
 
-        self.all_ids = self._replicate(padded.ids)
-        self.all_counts = self._replicate(padded.counts)
+        # Profile upload: ids and counts ship as ONE packed int32 array
+        # (id << 8 | count) when they fit — the remote-TPU uplink runs at
+        # ~95MB/s, so halving the ~245MB for Mycoplasma-scale profiles
+        # saves over a second of every cold start; unpacking is one
+        # trivial on-device jit.  (The padding sentinel id == vocab_size
+        # packs exactly like any other id.)
+        packable = (
+            index.vocab_size < (1 << 23)
+            and padded.counts.size > 0
+            and int(padded.counts.max(initial=0)) < 256
+        )
+        if packable:
+            packed = (
+                (padded.ids.astype(np.int64) << 8)
+                | padded.counts.astype(np.int64)
+            ).astype(np.int32)
+            packed_d = self._replicate(packed)
+            unpack = lambda p: (
+                jax.lax.shift_right_logical(p, 8), p & 0xFF
+            )
+            if n_dev == 1:
+                self.all_ids, self.all_counts = jax.jit(unpack)(packed_d)
+            else:
+                spec = NamedSharding(self.mesh, P(None, None))
+                self.all_ids, self.all_counts = jax.jit(
+                    unpack, out_shardings=(spec, spec)
+                )(packed_d)
+        else:
+            self.all_ids = self._replicate(padded.ids)
+            self.all_counts = self._replicate(padded.counts)
         self.sig = self._replicate(sig_mass)
         self.col_lens = self._replicate(lens_pad)
         self.width = self._replicate(width_pad)
@@ -560,6 +588,20 @@ class MeshRunner:
             lambda x: x, out_shardings=self._NS(self.mesh, spec)
         )(arr)
         return np.asarray(rep.addressable_data(0))
+
+    def fetch_many(self, *arrs) -> list:
+        """Batched fetch: start every device->host copy before blocking
+        on any.  The remote-TPU tunnel costs ~25ms latency per
+        synchronous transfer — N sequential fetches stack N latencies,
+        an async batch pays one."""
+        if jax.process_count() > 1:
+            return [self.fetch(a) for a in arrs]
+        for a in arrs:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        return [np.asarray(a) for a in arrs]
 
     @property
     def all_pair(self):
@@ -622,7 +664,18 @@ class MeshRunner:
 
     def extract_fetched(self, *args, **kwargs):
         """extract() + fetch every output to host numpy."""
-        return [self.fetch(o) for o in self.extract(*args, **kwargs)]
+        return self.fetch_many(*self.extract(*args, **kwargs))
+
+    def grow_layout(self, perm_ext, starts, row_block: int) -> np.ndarray:
+        """Host-computed twin of extract()'s ``grow`` output: grow is a
+        pure dynamic_slice of the (host-known) permutation at the
+        (host-known) padded starts, so fetching it from the device costs
+        a tunnel round trip for data the host already has."""
+        sg = self._pad_starts(
+            np.asarray(starts, np.int32), len(perm_ext) - row_block
+        )
+        pe = np.asarray(perm_ext)
+        return np.stack([pe[s : s + row_block] for s in sg])
 
     # --- fused flatten + Pallas join + validity ---------------------------
     def flatten_join(
@@ -780,7 +833,7 @@ def compute_cells_candidate(
             do_join=False, upper_only=True,
         )
         counts_h = runner.fetch(counts_d).reshape(-1)
-        grow_h = runner.fetch(grow_d).reshape(-1)
+        grow_h = runner.grow_layout(perm_ext, starts, row_block).reshape(-1)
         over = (counts_h > K) & (grow_h < G)
         overflow_rows.extend(
             zip(grow_h[over].tolist(), counts_h[over].tolist())
@@ -795,14 +848,16 @@ def compute_cells_candidate(
         pi_d, pj_d, inter_d, perc_d, tr_d, valid_d = runner.flatten_join(
             grow_d, cand_d, counts_d, K, pair_cap, chunk
         )
-        pi = runner.fetch(pi_d)
+        pi, pj, vmask, inter, perc, tr = runner.fetch_many(
+            pi_d, pj_d, valid_d, inter_d, perc_d, tr_d
+        )
         keep = pi < G
         pi = pi[keep]
-        pj = runner.fetch(pj_d)[keep]
-        vmask = runner.fetch(valid_d)[keep]
-        inter = runner.fetch(inter_d)[keep]
-        perc = runner.fetch(perc_d)[keep]
-        tr = runner.fetch(tr_d)[keep]
+        pj = pj[keep]
+        vmask = vmask[keep]
+        inter = inter[keep]
+        perc = perc[keep]
+        tr = tr[keep]
         if _trace:
             print(
                 f"[pt] flatten+join+fetch: {time.monotonic()-_t0:.2f}s "

@@ -348,7 +348,7 @@ def compute_network_device(
                 do_join=True, upper_only=False,
             )
         counts_h = runner.fetch(counts_d).reshape(-1)
-        grow_h = runner.fetch(grow_d).reshape(-1)
+        grow_h = runner.grow_layout(perm_ext, starts, row_block).reshape(-1)
         over = (counts_h > K) & (grow_h < G)
         if not np.any(over):
             break
@@ -403,16 +403,18 @@ def compute_network_device(
         edge_cap = _next_pow2(int(n_edges_h.max()))
     _mark(f"bbh(edge_cap={edge_cap})")
 
-    e_row = runner.fetch(e_row)
+    (e_row, e_col, e_inter, e_union, e_perc, e_tr, e_acc, ims_h,
+     n_valid_h) = runner.fetch_many(
+        e_row, e_col, e_inter, e_union, e_perc, e_tr, e_acc, ims, n_valid
+    )
     keep = e_row >= 0
     e_row = e_row[keep].astype(np.int64)
-    e_col = runner.fetch(e_col)[keep].astype(np.int64)
-    e_inter = runner.fetch(e_inter)[keep].astype(np.int64)
-    e_union = runner.fetch(e_union)[keep].astype(np.int64)
-    e_perc = runner.fetch(e_perc)[keep].astype(np.float32)
-    e_tr = runner.fetch(e_tr)[keep].astype(np.float32)
-    e_acc = runner.fetch(e_acc)[keep]
-    ims_h = runner.fetch(ims)
+    e_col = e_col[keep].astype(np.int64)
+    e_inter = e_inter[keep].astype(np.int64)
+    e_union = e_union[keep].astype(np.int64)
+    e_perc = e_perc[keep].astype(np.float32)
+    e_tr = e_tr[keep].astype(np.float32)
+    e_acc = e_acc[keep]
     _mark(f"fetch(edges={int(keep.sum())})")
 
     # host-exact f32 scores + canonical dedup (PangeneNet.java:167-174)
@@ -437,7 +439,7 @@ def compute_network_device(
     inter_keys = np.unique(key[e_acc])
     intra_keys = np.unique(key[~e_acc])
     stats = {
-        "n_cells": int(runner.fetch(n_valid).sum()),
+        "n_cells": int(n_valid_h.sum()),
         "n_accepted_inter_cells": int(e_acc.sum()),
         "n_inter_edges": int(inter_keys.size),
         "n_intra_edges": int(intra_keys.size),

@@ -53,18 +53,44 @@ _PAIR_BLOCK = 128  # pairs per grid step
 _CHUNK = 1 << 16  # pairs per gather chunk (2 x ~512MB expanded at W=1024)
 
 
-def _make_kernel(w_pad: int, interpret: bool = False):
+def _make_kernel(w_pad: int, interpret: bool = False, banded=None):
     """``interpret`` swaps the 128-step statically-unrolled roll loop
     (needed for Mosaic latency on real TPU — see the module docstring)
     for a ``fori_loop`` with a dynamic ``jnp.roll``: the same exact
     integer accumulation (all values < 2^24 in f32, so the changed add
     order is value-identical), but a ~100x smaller graph — interpret-mode
-    XLA-CPU compiles in seconds instead of ~50s per shape variant."""
+    XLA-CPU compiles in seconds instead of ~50s per shape variant.
+
+    ``banded`` selects the sorted-band tile windowing (default: on for
+    real TPU, off in interpret mode); tests force ``banded=True`` with
+    ``interpret=True`` to exercise the windowing logic on CPU with the
+    cheap dynamic-roll inner loop."""
     W = w_pad
     n_oct = _PAIR_BLOCK // _OCT
+    if banded is None:
+        banded = not interpret
+
+    MAXT = W // _LANE
+    BIG = 0x7FFFFFFF  # plain int: a jnp scalar here would be a captured
+    # constant, which pallas_call rejects
 
     def kernel(a_blk, b_blk, inter_ref, perc_ref, tr_ref):
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_OCT, W), 1)
+
+        # transpose [8, 128] -> [128, 8]; reduce positions (now sublanes)
+        # to a [1, 8] lane vector; place at the octet's static lane offset
+        def _place(acc, row_acc, o):
+            sums = jnp.sum(
+                jnp.swapaxes(acc, 0, 1), axis=0, keepdims=True
+            )  # [1, 8]
+            wide = jnp.concatenate(
+                [
+                    sums,
+                    jnp.zeros((1, _PAIR_BLOCK - _OCT), jnp.float32),
+                ],
+                axis=1,
+            )
+            return row_acc + pltpu.roll(wide, o * _OCT, 1)
 
         inter_row = jnp.zeros((1, _PAIR_BLOCK), jnp.float32)
         perc_row = jnp.zeros((1, _PAIR_BLOCK), jnp.float32)
@@ -72,31 +98,32 @@ def _make_kernel(w_pad: int, interpret: bool = False):
 
         for o in range(n_oct):
             sl = slice(o * _OCT, (o + 1) * _OCT)
-            a_cnt_full = a_blk[sl, W:].astype(jnp.float32)  # [8, W]
-            b_cnt_full = b_blk[sl, W:].astype(jnp.float32)
-
-            # join bounds from the data: last nonzero-count position
-            wa = jnp.max(jnp.where(a_cnt_full > 0, lane_iota, -1)) + 1
-            wb = jnp.max(jnp.where(b_cnt_full > 0, lane_iota, -1)) + 1
-            na = pl.cdiv(wa, _LANE)
-            nb = pl.cdiv(wb, _LANE)
 
             acc0 = jnp.zeros((_OCT, _LANE), jnp.float32)
 
-            def b_tile_body(bi, accs, sl=sl):
-                b_ids = b_blk[sl, pl.ds(bi * _LANE, _LANE)]
-                b_cnt = b_blk[sl, pl.ds(W + bi * _LANE, _LANE)].astype(
-                    jnp.float32
-                )
+            if not banded:
+                a_cnt_full = a_blk[sl, W:].astype(jnp.float32)  # [8, W]
+                b_cnt_full = b_blk[sl, W:].astype(jnp.float32)
 
-                def a_tile_body(ai, accs):
-                    inter_a, perc_a, tr_a = accs
-                    a_ids = a_blk[sl, pl.ds(ai * _LANE, _LANE)]
-                    a_cnt = a_blk[
-                        sl, pl.ds(W + ai * _LANE, _LANE)
-                    ].astype(jnp.float32)
+                # join bounds from the data: last nonzero-count position
+                wa = jnp.max(jnp.where(a_cnt_full > 0, lane_iota, -1)) + 1
+                wb = jnp.max(jnp.where(b_cnt_full > 0, lane_iota, -1)) + 1
+                na = pl.cdiv(wa, _LANE)
+                nb = pl.cdiv(wb, _LANE)
 
-                    if interpret:
+                def b_tile_body(bi, accs, sl=sl):
+                    b_ids = b_blk[sl, pl.ds(bi * _LANE, _LANE)]
+                    b_cnt = b_blk[sl, pl.ds(W + bi * _LANE, _LANE)].astype(
+                        jnp.float32
+                    )
+
+                    def a_tile_body(ai, accs):
+                        inter_a, perc_a, tr_a = accs
+                        a_ids = a_blk[sl, pl.ds(ai * _LANE, _LANE)]
+                        a_cnt = a_blk[
+                            sl, pl.ds(W + ai * _LANE, _LANE)
+                        ].astype(jnp.float32)
+
                         def roll_step(s, acc):
                             i_a, p_a, t_a = acc
                             rb_ids = jnp.roll(b_ids, s, axis=1)
@@ -114,6 +141,96 @@ def _make_kernel(w_pad: int, interpret: bool = False):
                             0, _LANE, roll_step, (inter_a, perc_a, tr_a)
                         )
 
+                    return jax.lax.fori_loop(
+                        0, na, a_tile_body, accs, unroll=False
+                    )
+
+                inter_acc, perc_acc, tr_acc = jax.lax.fori_loop(
+                    0, nb, b_tile_body, (acc0, acc0, acc0), unroll=False
+                )
+                inter_row = _place(inter_acc, inter_row, o)
+                perc_row = _place(perc_acc, perc_row, o)
+                tr_row = _place(tr_acc, tr_row, o)
+                continue
+
+            # --- banded sorted join (TPU path).  Profiles are sorted by
+            # id and left-packed, so tile id-ranges ascend along the
+            # width axis; for each a-tile only the CONTIGUOUS window of
+            # b-tiles whose id range overlaps it can produce equalities.
+            # The all-pairs na x nb tile loop becomes ~max(na, nb) tile
+            # visits — the asymptotic gap between an all-pairs join and a
+            # merge of two sorted lists, recovered at tile granularity.
+            #
+            # Range tables per octet (static MAXT unroll): invalid
+            # (all-padding) tiles get [BIG, BIG), which (a) never count
+            # as "entirely below" an a-range for the window start and
+            # (b) never extend the window end — trailing padded tiles
+            # fall out of every window, replacing the old wa/wb bounds.
+            bmin_t = []
+            bmax_t = []
+            for t in range(MAXT):
+                ids_t = b_blk[sl, t * _LANE : (t + 1) * _LANE]
+                cnt_t = b_blk[sl, W + t * _LANE : W + (t + 1) * _LANE]
+                v = cnt_t > 0
+                anyv = jnp.any(v)
+                bmin_t.append(
+                    jnp.where(anyv, jnp.min(jnp.where(v, ids_t, BIG)), BIG)
+                )
+                bmax_t.append(
+                    jnp.where(anyv, jnp.max(jnp.where(v, ids_t, -1)), BIG)
+                )
+
+            accs = (acc0, acc0, acc0)
+            for ai in range(MAXT):
+                a_ids = a_blk[sl, ai * _LANE : (ai + 1) * _LANE]
+                a_cnt_i = a_blk[sl, W + ai * _LANE : W + (ai + 1) * _LANE]
+                va = a_cnt_i > 0
+                anya = jnp.any(va)
+                amin = jnp.where(
+                    anya, jnp.min(jnp.where(va, a_ids, BIG)), BIG
+                )
+                amax = jnp.where(
+                    anya, jnp.max(jnp.where(va, a_ids, -1)), jnp.int32(-1)
+                )
+                # window = [first overlapping tile, last overlapping + 1].
+                # Per-ROW tile ranges ascend, but the octet's 8 rows mix,
+                # so the octet-level ranges need not be monotonic —
+                # min/max over explicit overlap tests is robust (the
+                # window may include non-overlapping middles: wasted
+                # work, never wrong answers).
+                bstart = jnp.int32(MAXT)
+                bend = jnp.int32(0)
+                for t in range(MAXT):
+                    ov = (bmax_t[t] >= amin) & (bmin_t[t] <= amax)
+                    bstart = jnp.minimum(
+                        bstart, jnp.where(ov, t, MAXT)
+                    )
+                    bend = jnp.maximum(bend, jnp.where(ov, t + 1, 0))
+                a_cnt = a_cnt_i.astype(jnp.float32)
+
+                def b_body(bi, accs, sl=sl, a_ids=a_ids, a_cnt=a_cnt):
+                    inter_a, perc_a, tr_a = accs
+                    b_ids = b_blk[sl, pl.ds(bi * _LANE, _LANE)]
+                    b_cnt = b_blk[sl, pl.ds(W + bi * _LANE, _LANE)].astype(
+                        jnp.float32
+                    )
+                    if interpret:  # banded test mode: cheap dynamic rolls
+                        def roll_step(s, acc):
+                            i_a, p_a, t_a = acc
+                            rb_ids = jnp.roll(b_ids, s, axis=1)
+                            rb_cnt = jnp.roll(b_cnt, s, axis=1)
+                            eq = a_ids == rb_ids
+                            return (
+                                i_a + jnp.where(
+                                    eq, jnp.minimum(a_cnt, rb_cnt), 0.0
+                                ),
+                                p_a + jnp.where(eq, a_cnt, 0.0),
+                                t_a + jnp.where(eq, rb_cnt, 0.0),
+                            )
+
+                        return jax.lax.fori_loop(
+                            0, _LANE, roll_step, (inter_a, perc_a, tr_a)
+                        )
                     # static independent rolls from the base tile with a
                     # 4-way interleaved accumulator per counter.  An
                     # incremental roll-by-1 chain (roll(prev, 1)) is
@@ -145,33 +262,14 @@ def _make_kernel(w_pad: int, interpret: bool = False):
                         sum(t_acc[1:], t_acc[0]),
                     )
 
-                return jax.lax.fori_loop(
-                    0, na, a_tile_body, accs, unroll=False
+                accs = jax.lax.fori_loop(
+                    bstart, bend, b_body, accs, unroll=False
                 )
+            inter_acc, perc_acc, tr_acc = accs
 
-            inter_acc, perc_acc, tr_acc = jax.lax.fori_loop(
-                0, nb, b_tile_body, (acc0, acc0, acc0), unroll=False
-            )
-
-            # transpose [8, 128] -> [128, 8]; reduce positions (now
-            # sublanes) to a [1, 8] lane vector; place at this octet's
-            # static lane offset
-            def place(acc, row_acc, o=o):
-                sums = jnp.sum(
-                    jnp.swapaxes(acc, 0, 1), axis=0, keepdims=True
-                )  # [1, 8]
-                wide = jnp.concatenate(
-                    [
-                        sums,
-                        jnp.zeros((1, _PAIR_BLOCK - _OCT), jnp.float32),
-                    ],
-                    axis=1,
-                )
-                return row_acc + pltpu.roll(wide, o * _OCT, 1)
-
-            inter_row = place(inter_acc, inter_row)
-            perc_row = place(perc_acc, perc_row)
-            tr_row = place(tr_acc, tr_row)
+            inter_row = _place(inter_acc, inter_row, o)
+            perc_row = _place(perc_acc, perc_row, o)
+            tr_row = _place(tr_acc, tr_row, o)
 
         inter_ref[...] = inter_row
         perc_ref[...] = perc_row
@@ -187,6 +285,7 @@ def join_pairs_core(
     w_pad: int,
     chunk: int,
     interpret: bool = False,
+    banded=None,
 ):
     """Exact counters per pair: (inter, perc, tr) f32 [P] with perc
     relative to the a-side.  Expands profile rows chunk-by-chunk with
@@ -197,7 +296,7 @@ def join_pairs_core(
     :func:`_join_pairs_device` wrapper."""
     P = a_idx.shape[0]
     n_chunks = P // chunk
-    kernel = _make_kernel(w_pad, interpret)
+    kernel = _make_kernel(w_pad, interpret, banded)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

@@ -76,3 +76,36 @@ def test_join_pairs_empty():
         interpret=True,
     )
     assert len(inter) == 0
+
+
+@pytest.mark.parametrize("seed,W", [(3, 256), (4, 512)])
+def test_banded_kernel_matches_plain(seed, W):
+    """The sorted-band tile windowing (the TPU path's na x nb ->
+    ~max(na, nb) optimization) must be output-identical to the
+    all-tile-pairs path on ragged sorted profiles."""
+    from pandelos_tpu.ops.pallas_join import join_pairs_core
+
+    rng = np.random.default_rng(seed)
+    vocab = 3000
+    n_genes = 16
+    G_pad = n_genes + 1
+    ids = np.full((G_pad, W), vocab, dtype=np.int32)
+    counts = np.zeros((G_pad, W), dtype=np.int32)
+    for g in range(n_genes):
+        w = int(rng.integers(0, W + 1))
+        ids[g, :w] = np.sort(
+            rng.choice(vocab, size=w, replace=False)
+        ).astype(np.int32)
+        counts[g, :w] = rng.integers(1, 6, size=w)
+    all_pair = jnp.asarray(pack_profiles(ids, counts))
+
+    P = 128
+    a_idx = jnp.asarray(rng.integers(0, G_pad, size=P).astype(np.int32))
+    b_idx = jnp.asarray(rng.integers(0, G_pad, size=P).astype(np.int32))
+
+    plain = join_pairs_core(all_pair, a_idx, b_idx, w_pad=W, chunk=P,
+                            interpret=True, banded=False)
+    band = join_pairs_core(all_pair, a_idx, b_idx, w_pad=W, chunk=P,
+                           interpret=True, banded=True)
+    for p, b in zip(plain, band):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(b))

@@ -335,11 +335,15 @@ extern "C" int pt_gn_split(int32_t n, int64_t m, const int32_t* eu,
     const int32_t original = count_components(nullptr);
     int32_t current = original;
 
+    struct Pred {
+        int32_t v;
+        int64_t eid;  // the (v, w) edge, recorded at BFS time so the
+    };                // accumulation pass needs no adjacency rescan
     std::vector<double> bet(m);
     std::vector<double> sigma(n), delta(n);
     std::vector<int32_t> dist(n);
     std::vector<int32_t> order;  // S: BFS visit order
-    std::vector<std::vector<int32_t>> preds(n);
+    std::vector<std::vector<Pred>> preds(n);
     const double scale = 1.0 / ((double)n * (double)(n - 1));
 
     while (current <= original) {
@@ -372,7 +376,7 @@ extern "C" int pt_gn_split(int32_t n, int64_t m, const int32_t* eu,
                     }
                     if (dist[w] == dv + 1) {
                         sigma[w] += sv;
-                        preds[w].push_back(v);
+                        preds[w].push_back({v, nb.eid});
                     }
                 }
             }
@@ -380,16 +384,10 @@ extern "C" int pt_gn_split(int32_t n, int64_t m, const int32_t* eu,
             for (int64_t t = (int64_t)order.size() - 1; t >= 0; t--) {
                 const int32_t w = order[t];
                 const double coeff = (1.0 + delta[w]) / sigma[w];
-                for (const int32_t v : preds[w]) {
-                    const double c = sigma[v] * coeff;
-                    // find the (v, w) edge id (adjacency is tiny)
-                    for (const auto& nb : adj[v]) {
-                        if (nb.v == w && !removed[nb.eid]) {
-                            bet[nb.eid] += c;
-                            break;
-                        }
-                    }
-                    delta[v] += c;
+                for (const Pred& p : preds[w]) {
+                    const double c = sigma[p.v] * coeff;
+                    bet[p.eid] += c;
+                    delta[p.v] += c;
                 }
             }
         }

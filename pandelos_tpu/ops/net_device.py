@@ -363,6 +363,8 @@ def compute_network_device(
             grow_d, cand_d, counts_d, K, pair_cap, chunk
         )[2:]
         # (pi, pj are implicit in the [rows, K] re-expansion)
+        if _trace:
+            np.asarray(fi[:8])  # sync point: isolates the join time
         _mark(f"flatten_join(pair_cap={pair_cap})")
 
     # gene -> global row position (consistent with all_gather row order)

@@ -60,17 +60,18 @@ def regen_toy() -> None:
     print("toy: regenerated")
 
 
-def regen_large() -> None:
-    """mycoplasma64 goldens for the bench + slow tests (VERDICT r2 #5).
-    The independent dict-cells stage costs one Python iteration per
-    reference 'lookup' — minutes at this scale."""
-    ds = generate(PRESETS["mycoplasma64"])
-    faa = os.path.join(CACHE, "mycoplasma64.faa")
+def regen_large(preset: str = "mycoplasma64") -> None:
+    """Bench-preset goldens (VERDICT r2 #5): mycoplasma64 and the CPU
+    fallback scale mycoplasma16.  The independent dict-cells stage costs
+    one Python iteration per reference 'lookup' — minutes at the
+    64-genome scale."""
+    ds = generate(PRESETS[preset])
+    faa = os.path.join(CACHE, f"{preset}.faa")
     write_faa(faa, ds)
     t0 = time.monotonic()
-    run_pipeline(faa, os.path.join(CACHE, "mycoplasma64"),
+    run_pipeline(faa, os.path.join(CACHE, preset),
                  PipelineConfig(backend="reference"))
-    print(f"mycoplasma64: regenerated in {time.monotonic() - t0:.1f}s")
+    print(f"{preset}: regenerated in {time.monotonic() - t0:.1f}s")
 
 
 if __name__ == "__main__":
@@ -79,8 +80,8 @@ if __name__ == "__main__":
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
     if args.only:
-        if args.only == "mycoplasma64":
-            regen_large()
+        if args.only in PRESETS:
+            regen_large(args.only)
         elif args.only == "toy":
             regen_toy()
         else:
@@ -90,4 +91,5 @@ if __name__ == "__main__":
         for name in SPECS:
             regen_case(name)
         if args.large:
-            regen_large()
+            regen_large("mycoplasma16")
+            regen_large("mycoplasma64")

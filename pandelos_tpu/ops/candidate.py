@@ -540,10 +540,12 @@ class MeshRunner:
             and int(padded.counts.max(initial=0)) < 256
         )
         if packable:
-            packed = (
-                (padded.ids.astype(np.int64) << 8)
-                | padded.counts.astype(np.int64)
-            ).astype(np.int32)
+            # pure int32 shift: ids < 2^23 so ids << 8 cannot overflow
+            # (an int64 intermediate costs ~1.5s of extra host time at
+            # Mycoplasma scale)
+            packed = (padded.ids << np.int32(8)) | padded.counts.astype(
+                np.int32
+            )
             packed_d = self._replicate(packed)
             unpack = lambda p: (
                 jax.lax.shift_right_logical(p, 8), p & 0xFF

@@ -132,6 +132,21 @@ def pick_buckets(
     Target B = 8*k*W puts mean noise at threshold/4 (mean + 5 sigma still
     clears the threshold), bounded below by 4096 and above by a device
     memory cap (~6GB for mass+presence bf16 signatures)."""
+    import os
+
+    env = os.environ.get("PT_SIG_BUCKETS")
+    if env:  # experimentation override (bench sweeps)
+        target = int(env)
+        n_buckets = BUCKET_CHUNK
+        while n_buckets < target:
+            n_buckets *= 2
+        shift = 0
+        while (max(1, vocab_size - 1) >> shift) >= n_buckets:
+            shift += 1
+        used = (max(1, vocab_size - 1) >> shift) + 1
+        used_padded = ((used + BUCKET_CHUNK - 1) // BUCKET_CHUNK) * BUCKET_CHUNK
+        return used_padded, shift
+
     target = max(4096, 8 * k * max_width)
     n_buckets = BUCKET_CHUNK
     while n_buckets < target and n_buckets < 131072:

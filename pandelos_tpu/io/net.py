@@ -13,7 +13,7 @@ Jaccard scores (0, 1].
 from __future__ import annotations
 
 from decimal import Decimal
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from pandelos_tpu.config import PipelineConfig
 from pandelos_tpu.index import KmerIndex
 from pandelos_tpu.oracle.cells import ScoreCells
-from pandelos_tpu.ops.score import PaddedProfiles, _round_up, pad_profiles
+from pandelos_tpu.ops.score import _round_up, pad_profiles
 
 def _bf16_round_up(x: np.ndarray) -> np.ndarray:
     """Round positive float32 values UP to the nearest bfloat16 value

@@ -174,14 +174,15 @@ def _bbh_local(
     e_row = jnp.where(found, grow_f[safe // K], -1)
     e_col = cand_f.reshape(-1)[safe]
     e_inter = inter_rk.reshape(-1)[safe]
-    e_union = union.reshape(-1)[safe]
+    # union is NOT shipped: the host derives it exactly from the integer
+    # kseq lengths (union = |A| + |B| - inter, all < 2^31)
     e_perc = perc_rk.reshape(-1)[safe]
     e_tr = tr_rk.reshape(-1)[safe]
     e_acc = accept.reshape(-1)[safe] & found
     n_edges = jnp.sum(emask, dtype=jnp.int32)[None]
     n_valid = jnp.sum(score > 0, dtype=jnp.int32)[None]
     return (
-        e_row, e_col, e_inter, e_union, e_perc, e_tr, e_acc,
+        e_row, e_col, e_inter, e_perc, e_tr, e_acc,
         n_edges, n_valid, ims,
     )
 
@@ -260,7 +261,7 @@ def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool):
                 P(axis, None, None),
             ) + rep3
         out_specs = (
-            (P(axis),) * 7
+            (P(axis),) * 6
             + (P(axis), P(axis))
             + (P(None, None),)  # ims: pmax-merged, device-invariant
         )
@@ -397,7 +398,7 @@ def compute_network_device(
                 grow_d, cand_d, inter_d, perc_d, tr_d, valid_d,
                 inv_perm_r, lens_r, genome_r,
             )
-        (e_row, e_col, e_inter, e_union, e_perc, e_tr, e_acc,
+        (e_row, e_col, e_inter, e_perc, e_tr, e_acc,
          n_edges, n_valid, ims) = outs
         n_edges_h = runner.fetch(n_edges)
         if int(n_edges_h.max(initial=0)) <= edge_cap:
@@ -405,15 +406,18 @@ def compute_network_device(
         edge_cap = _next_pow2(int(n_edges_h.max()))
     _mark(f"bbh(edge_cap={edge_cap})")
 
-    (e_row, e_col, e_inter, e_union, e_perc, e_tr, e_acc, ims_h,
+    (e_row, e_col, e_inter, e_perc, e_tr, e_acc, ims_h,
      n_valid_h) = runner.fetch_many(
-        e_row, e_col, e_inter, e_union, e_perc, e_tr, e_acc, ims, n_valid
+        e_row, e_col, e_inter, e_perc, e_tr, e_acc, ims, n_valid
     )
     keep = e_row >= 0
     e_row = e_row[keep].astype(np.int64)
     e_col = e_col[keep].astype(np.int64)
     e_inter = e_inter[keep].astype(np.int64)
-    e_union = e_union[keep].astype(np.int64)
+    # union derived host-side from the exact integer kseq lengths
+    # (union = |A| + |B| - inter); saves one [edge_cap] device fetch.
+    lens_i64 = np.asarray(index.kseq_lengths, np.int64)
+    e_union = lens_i64[e_row] + lens_i64[e_col] - e_inter
     e_perc = e_perc[keep].astype(np.float32)
     e_tr = e_tr[keep].astype(np.float32)
     e_acc = e_acc[keep]

@@ -43,11 +43,9 @@ REFERENCE_LOOKUPS_PER_SEC = 40505.500586716735 * 1000.0  # library.cpp:352
 BF16_PEAK_TFLOPS = 358.0  # measured in-program on this chip (docs/DESIGN.md)
 
 
-def _device_healthy(timeout_s: float = 150.0, attempts: int = 3) -> bool:
-    """Probe the accelerator in a SUBPROCESS under a watchdog; the remote
-    TPU tunnel can wedge for hours after a worker crash, and a hung
-    backend init would poison this process too.  Retries with backoff:
-    a single failed probe was observed while the tunnel recovered."""
+def _probe_once(timeout_s: float) -> bool:
+    """One accelerator probe in a SUBPROCESS under a watchdog; a hung
+    backend init must not poison this process."""
     import subprocess
 
     code = (
@@ -55,52 +53,185 @@ def _device_healthy(timeout_s: float = 150.0, attempts: int = 3) -> bool:
         "x = jax.device_put(np.ones((8, 128), np.float32));"
         "assert float(x.sum()) == 1024.0"
     )
-    for attempt in range(attempts):
-        try:
-            rc = subprocess.run(
-                [sys.executable, "-c", code],
-                timeout=timeout_s,
-                capture_output=True,
-            )
-            if rc.returncode == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        if attempt + 1 < attempts:
-            time.sleep(30 * (attempt + 1))
-    return False
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return rc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
-def _watchdog_main() -> int:
-    """Run the real bench in a child process under a deadline: the remote
-    TPU tunnel can stall mid-execution (not just at init), and a hung
-    bench would otherwise eat the whole driver round.  Only a TIMEOUT (or
-    an unhealthy-device marker from the child) triggers the CPU rerun —
-    a plain nonzero exit is a code regression and propagates as failure."""
+def _device_healthy(budget_s: float = 600.0) -> bool:
+    """Probe the accelerator until it answers or ``budget_s`` runs out.
+    The remote TPU tunnel has been observed to wedge for tens of minutes
+    after a worker crash (docs/DESIGN.md), so a short probe window settles
+    on the CPU fallback exactly when waiting would have won — the round-3
+    official bench was lost to that (VERDICT r3 weak #1)."""
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        remain = deadline - time.monotonic()
+        if remain <= 0:
+            return False
+        if _probe_once(min(120.0, max(15.0, remain))):
+            return True
+        attempt += 1
+        sleep_s = min(60.0 * attempt, max(0.0, deadline - time.monotonic()))
+        if sleep_s <= 0:
+            return False
+        time.sleep(sleep_s)
+
+
+def _run_child(env: dict, timeout_s: float):
+    """Run this file in a child with ``env``; returns (rc, last_stdout
+    line or None, stderr_tail, timed_out)."""
     import subprocess
 
-    deadline = float(os.environ.get("BENCH_TIMEOUT_S", "1500"))
-    env = dict(os.environ, BENCH_INNER="1")
-    note = None
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            timeout=deadline, env=env, capture_output=True, text=True,
+            timeout=timeout_s, env=env, capture_output=True, text=True,
         )
-        if proc.returncode == 0 and proc.stdout.strip():
-            print(proc.stdout.strip().splitlines()[-1])
-            return 0
-        if proc.returncode == 17:  # child marks: device probe failed
-            note = "accelerator unreachable"
-        else:
-            sys.stderr.write(proc.stderr[-4000:])
-            return proc.returncode or 1
     except subprocess.TimeoutExpired:
-        note = f"device bench exceeded {deadline:.0f}s (tunnel stall?)"
+        return None, None, "", True
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else None
+    return proc.returncode, line, proc.stderr[-4000:], False
 
-    # CPU fallback at a scaled preset of the SAME data distribution —
-    # never toy (BENCH_r02 lesson: a toy fallback is incomparable with
-    # other rounds' numbers).
+
+def _cache_dir() -> str:
+    return os.environ.get(
+        "PANDELOS_JAX_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "pandelos_tpu", "jax_cache"
+        ),
+    )
+
+
+def _watchdog_main() -> int:
+    """Orchestrate the bench as watchdog-guarded child steps so a tunnel
+    stall can never eat the whole driver round (VERDICT r3 next #1):
+
+    1. probe the accelerator with a LONG budget (the tunnel recovers on
+       the tens-of-minutes scale),
+    2. WARM step — one full pipeline pass that populates the persistent
+       compile cache; if the cache was empty this doubles as the honest
+       cold end-to-end measurement (VERDICT r3 next #6),
+    3. MEASURED run (compiles now cached, so its own deadline is tight);
+       one retry after a fresh probe before giving up on the device,
+    4. optional fresh-cache COLD step when the warm step found a
+       pre-populated cache.
+
+    Only if the device stays unreachable does the CPU fallback run, at a
+    scaled preset of the same data distribution (never toy: BENCH_r02
+    lesson — a toy fallback is incomparable across rounds)."""
+    t_start = time.monotonic()
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "3300"))
+
+    def remaining() -> float:
+        return total_budget - (time.monotonic() - t_start)
+
+    env = dict(os.environ, BENCH_INNER="1", BENCH_SKIP_PROBE="1")
+    note = None
+    cold_e2e = None
+    cold_note = None
+
+    probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "600"))
+    healthy = _device_healthy(min(probe_budget, remaining()))
+
+    if healthy:
+        # --- warm step (also the cold e2e when the cache starts empty)
+        cdir = _cache_dir()
+        cache_empty = not (
+            os.path.isdir(cdir) and any(os.scandir(cdir))
+        )
+        warm_env = dict(env, BENCH_WARM="1")
+        warm_deadline = float(os.environ.get("BENCH_WARM_TIMEOUT_S", "900"))
+        rc = line = None
+        for attempt in range(2):
+            if remaining() < 120:
+                break
+            rc, line, err, timed_out = _run_child(
+                warm_env, min(warm_deadline, remaining())
+            )
+            if rc == 0 and line:
+                break
+            if not timed_out and rc not in (None, 17):
+                sys.stderr.write(err)
+                return rc  # code regression: propagate, don't mask
+            # stall mid-warm: give the tunnel one recovery window
+            if attempt == 0 and not _device_healthy(min(300, remaining())):
+                healthy = False
+                note = "accelerator lost during warm-up"
+                break
+        if healthy and rc == 0 and line:
+            try:
+                warm = json.loads(line)
+                if cache_empty and warm.get("e2e_s"):
+                    cold_e2e = warm["e2e_s"]
+                    cold_note = "warm step on empty compile cache"
+            except ValueError:
+                pass
+        elif healthy and note is None and rc != 0:
+            note = "warm step never finished (tunnel stall?)"
+            healthy = False
+
+    if healthy:
+        # --- measured run (one retry after a fresh probe)
+        deadline = float(os.environ.get("BENCH_TIMEOUT_S", "900"))
+        for attempt in range(2):
+            if remaining() < 120:
+                note = "bench budget exhausted before measured run"
+                healthy = False
+                break
+            rc, line, err, timed_out = _run_child(
+                env, min(deadline, remaining())
+            )
+            if rc == 0 and line:
+                result = json.loads(line)
+                # --- optional fresh-cache cold step
+                if cold_e2e is None and remaining() > 300 and \
+                        os.environ.get("BENCH_COLD", "1") == "1":
+                    import tempfile
+
+                    tmp = tempfile.mkdtemp(prefix="pandelos_coldcache_")
+                    cold_env = dict(
+                        env, BENCH_WARM="1", PANDELOS_JAX_CACHE=tmp
+                    )
+                    crc, cline, _, _ = _run_child(
+                        cold_env,
+                        min(float(os.environ.get(
+                            "BENCH_COLD_TIMEOUT_S", "900")), remaining()),
+                    )
+                    if crc == 0 and cline:
+                        try:
+                            cold_e2e = json.loads(cline).get("e2e_s")
+                            cold_note = "fresh-cache pipeline pass"
+                        except ValueError:
+                            pass
+                    else:
+                        cold_note = "cold step failed or timed out"
+                result.setdefault("extra", {})
+                result["extra"]["end_to_end_cold_s"] = cold_e2e
+                result["extra"]["cold_note"] = cold_note
+                print(json.dumps(result))
+                return 0
+            if not timed_out and rc not in (None, 17):
+                sys.stderr.write(err)
+                return rc or 1
+            note = (
+                "accelerator unreachable" if rc == 17
+                else f"device bench exceeded {deadline:.0f}s (tunnel stall?)"
+            )
+            if attempt == 0 and not _device_healthy(min(300, remaining())):
+                break
+    elif note is None:
+        note = "accelerator unreachable"
+
+    # --- CPU fallback
+    fb_deadline = float(os.environ.get("BENCH_FALLBACK_TIMEOUT_S", "1500"))
     env.update(
         JAX_PLATFORMS="cpu",
         BENCH_PRESET=os.environ.get("BENCH_PRESET_FALLBACK", "mycoplasma16"),
@@ -108,32 +239,65 @@ def _watchdog_main() -> int:
         # scale); the xla backend is the comparable compiled path there
         BENCH_BACKEND=os.environ.get("BENCH_BACKEND", "xla"),
         BENCH_DEVICE_NOTE=f"{note}; CPU fallback",
-        BENCH_SKIP_PROBE="1",
     )
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            timeout=deadline, env=env, capture_output=True, text=True,
-        )
-    except subprocess.TimeoutExpired:
-        print(json.dumps({
-            "metric": "kmer_index_lookups_per_sec", "value": None,
-            "unit": "lookups/s", "vs_baseline": None,
-            "extra": {"error": f"CPU fallback also exceeded {deadline:.0f}s",
-                      "device_note": note},
-        }))
-        return 1
-    if proc.returncode == 0 and proc.stdout.strip():
-        print(proc.stdout.strip().splitlines()[-1])
+    env.pop("BENCH_WARM", None)
+    rc, line, err, timed_out = _run_child(env, fb_deadline)
+    if rc == 0 and line:
+        print(line)
         return 0
-    sys.stderr.write(proc.stderr[-4000:])
+    sys.stderr.write(err)
     print(json.dumps({
         "metric": "kmer_index_lookups_per_sec", "value": None,
         "unit": "lookups/s", "vs_baseline": None,
-        "extra": {"error": f"CPU fallback failed rc={proc.returncode}",
-                  "device_note": note},
+        "extra": {
+            "error": (
+                f"CPU fallback also exceeded {fb_deadline:.0f}s"
+                if timed_out else f"CPU fallback failed rc={rc}"
+            ),
+            "device_note": note,
+        },
     }))
     return 1
+
+
+def _warm_main() -> int:
+    """One full pipeline pass on the bench preset: populates the
+    persistent compile cache and reports its own wall time (the honest
+    cold end-to-end number when the cache started empty)."""
+    from pandelos_tpu.utils.jaxenv import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from pandelos_tpu.bench.synth import generate_preset
+    from pandelos_tpu.config import PipelineConfig
+    from pandelos_tpu.io.faa import write_faa
+    from pandelos_tpu.pipeline import run_pipeline
+
+    preset = os.environ.get("BENCH_PRESET", "mycoplasma64")
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache_dir = os.path.join(here, "bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    faa_path = os.path.join(cache_dir, f"{preset}.faa")
+    if not os.path.exists(faa_path):
+        write_faa(faa_path, generate_preset(preset))
+
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
+    config = PipelineConfig(
+        backend=backend, row_block=256, col_block=512, level_cap=4,
+        device_bbh=(os.environ.get("BENCH_DEVICE_BBH", "1") == "1")
+        if backend in ("xla", "pallas") else None,
+    )
+    out_prefix = os.path.join(cache_dir, f"_warm_{preset}")
+    t0 = time.monotonic()
+    run_pipeline(faa_path, out_prefix, config)
+    e2e = time.monotonic() - t0
+    for suffix in (".net", ".clus", ".stats.json"):
+        try:
+            os.remove(out_prefix + suffix)
+        except OSError:
+            pass
+    print(json.dumps({"warm": True, "e2e_s": round(e2e, 3)}))
+    return 0
 
 
 def main() -> int:
@@ -148,7 +312,9 @@ def main() -> int:
     enable_compilation_cache()
 
     device_note = os.environ.get("BENCH_DEVICE_NOTE") or None
-    if os.environ.get("BENCH_SKIP_PROBE") != "1" and not _device_healthy():
+    if os.environ.get("BENCH_SKIP_PROBE") != "1" and not _device_healthy(
+        300.0
+    ):
         return 17  # watchdog reruns on CPU at the fallback preset
 
     preset = os.environ.get("BENCH_PRESET", "mycoplasma64")
@@ -323,5 +489,7 @@ def main() -> int:
 
 if __name__ == "__main__":
     if os.environ.get("BENCH_INNER") == "1":
+        if os.environ.get("BENCH_WARM") == "1":
+            sys.exit(_warm_main())
         sys.exit(main())
     sys.exit(_watchdog_main())

@@ -12,6 +12,7 @@ Jaccard scores (0, 1].
 
 from __future__ import annotations
 
+import os
 from decimal import Decimal
 from typing import List
 
@@ -131,6 +132,8 @@ def write_net(path: str, edges) -> None:
 
 
 def read_net(path: str) -> EdgeList:
+    if os.path.getsize(path) == 0:  # loadtxt warns on empty input
+        return EdgeList.from_any([])
     try:
         data = np.loadtxt(path, delimiter="\t", dtype=np.float64, ndmin=2)
     except ValueError:

@@ -416,6 +416,12 @@ def compute_network_device(
     e_inter = e_inter[keep].astype(np.int64)
     # union derived host-side from the exact integer kseq lengths
     # (union = |A| + |B| - inter); saves one [edge_cap] device fetch.
+    # Invariants the derivation relies on: the device-side accept
+    # decision used f32 lens (exact only below 2^24), and every kept
+    # edge must reference a real gene (padding profiles yield inter=0,
+    # so score>0 filters them — made explicit here).
+    assert int(np.asarray(index.kseq_lengths).max(initial=0)) < 2**24
+    assert int(e_row.max(initial=-1)) < G and int(e_col.max(initial=-1)) < G
     lens_i64 = np.asarray(index.kseq_lengths, np.int64)
     e_union = lens_i64[e_row] + lens_i64[e_col] - e_inter
     e_perc = e_perc[keep].astype(np.float32)

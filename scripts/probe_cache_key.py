@@ -48,37 +48,47 @@ def main():
     h = hashlib.sha256(stable.encode()).hexdigest()
     print(f"flatten_join stablehlo sha256: {h}", file=out)
 
-    # the actual persistent-cache key jax would use
-    from jax._src import cache_key, compiler
+    # the actual persistent-cache key jax would use — private JAX
+    # internals (jax._src.cache_key / compiler, lowered._lowering) that
+    # move across versions; guarded so the public stablehlo hash above
+    # still works when they do (dev-only probe, JAX 0.8-era API).
+    try:
+        from jax._src import cache_key, compiler
 
-    module = lowered._lowering.stablehlo()
-    backend = jax.devices()[0].client
-    copts = compiler.get_compile_options(1, 1)
-    key = cache_key.get(module, np.asarray(jax.devices()[:1]), copts, backend)
-    print(f"flatten_join persistent key: {key}", file=out)
-    # key ingredients that could vary per process
-    d = jax.devices()[0]
-    print(f"platform_version: {getattr(backend, 'platform_version', '?')}",
-          file=out)
-    print(f"runtime_type: {getattr(backend, 'runtime_type', '?')}", file=out)
-    print(f"device repr: {repr(d)}", file=out)
-    desc = {}
-    try:
-        desc = d.description() if callable(
-            getattr(d, "description", None)) else {}
-    except Exception:
-        pass
-    print(f"device desc: {desc}", file=out)
-    try:
-        print(f"device attrs: {sorted(dir(d))}", file=out)
-        for a in ("id", "process_index", "coords", "core_on_chip",
-                  "device_kind", "slice_index"):
-            print(f"  {a} = {getattr(d, a, '?')}", file=out)
-    except Exception:
-        pass
-    print(f"compile_options hash: "
-          f"{hashlib.sha256(copts.SerializeAsString()).hexdigest()}",
-          file=out)
+        module = lowered._lowering.stablehlo()
+        backend = jax.devices()[0].client
+        copts = compiler.get_compile_options(1, 1)
+        key = cache_key.get(
+            module, np.asarray(jax.devices()[:1]), copts, backend
+        )
+        print(f"flatten_join persistent key: {key}", file=out)
+        # key ingredients that could vary per process
+        d = jax.devices()[0]
+        print(f"platform_version: "
+              f"{getattr(backend, 'platform_version', '?')}", file=out)
+        print(f"runtime_type: {getattr(backend, 'runtime_type', '?')}",
+              file=out)
+        print(f"device repr: {repr(d)}", file=out)
+        desc = {}
+        try:
+            desc = d.description() if callable(
+                getattr(d, "description", None)) else {}
+        except Exception:
+            pass
+        print(f"device desc: {desc}", file=out)
+        try:
+            print(f"device attrs: {sorted(dir(d))}", file=out)
+            for a in ("id", "process_index", "coords", "core_on_chip",
+                      "device_kind", "slice_index"):
+                print(f"  {a} = {getattr(d, a, '?')}", file=out)
+        except Exception:
+            pass
+        print(f"compile_options hash: "
+              f"{hashlib.sha256(copts.SerializeAsString()).hexdigest()}",
+              file=out)
+    except (ImportError, AttributeError) as e:
+        print(f"persistent-key probe unavailable (private API moved): {e}",
+              file=out)
 
     # dump the full serialized module for diffing
     dump = os.environ.get("PT_KEY_DUMP")

@@ -48,6 +48,10 @@ class PipelineConfig:
     # pathological candidate overflow.  None -> on for real accelerator
     # backends (the tunnel is the bottleneck there), off on CPU.
     device_bbh: Optional[bool] = None
+    # Exact-join kernel for the pallas backend: "lane" (lane-bucketed,
+    # ops/lane_join.py — no alignment search, ~10x fewer VPU ops) or
+    # "roll" (compare-and-rotate, ops/pallas_join.py).
+    join_kernel: str = "lane"
 
     # --- parallelism
     # Number of devices to shard the row-block axis of the scoring mesh

@@ -432,12 +432,15 @@ def _extract_program(mesh, axis: str, row_block: int, w_row: int,
 
 
 def _flatten_join_program(mesh, axis: str, pair_cap: int, chunk: int,
-                          w_pad: int, interpret: bool):
+                          w_pad: int, interpret: bool,
+                          kernel: str = "roll", lane_D: int = 0):
     from jax.sharding import PartitionSpec as P
 
+    from pandelos_tpu.ops.lane_join import lane_join_core
     from pandelos_tpu.ops.pallas_join import join_pairs_core
 
-    key = ("fj", mesh, axis, pair_cap, chunk, w_pad, interpret)
+    key = ("fj", mesh, axis, pair_cap, chunk, w_pad, interpret,
+           kernel, lane_D)
     fn = _PROGRAM_CACHE.get(key)
     if fn is not None:
         return fn
@@ -458,10 +461,16 @@ def _flatten_join_program(mesh, axis: str, pair_cap: int, chunk: int,
         ok = p < total
         pi = jnp.where(ok, gf[r_safe], pad_gene).astype(jnp.int32)
         pj = jnp.where(ok, cf[r_safe, s], pad_gene).astype(jnp.int32)
-        inter, perc, tr = join_pairs_core(
-            all_pair, pi, pj, w_pad=w_pad, chunk=chunk,
-            interpret=interpret,
-        )
+        if kernel == "lane":
+            inter, perc, tr = lane_join_core(
+                all_pair, pi, pj, D=lane_D, chunk=chunk,
+                interpret=interpret,
+            )
+        else:
+            inter, perc, tr = join_pairs_core(
+                all_pair, pi, pj, w_pad=w_pad, chunk=chunk,
+                interpret=interpret,
+            )
         valid = (inter > 0) & (
             (k2f * perc >= col_lens[pi]) | (k2f * tr >= col_lens[pj])
         )
@@ -564,6 +573,9 @@ class MeshRunner:
         self.col_lens = self._replicate(lens_pad)
         self.width = self._replicate(width_pad)
         self._all_pair = None
+        self.join_kernel = getattr(config, "join_kernel", "lane")
+        self._all_lane = None
+        self.lane_D = 0
 
     # --- placement helpers ---------------------------------------------
     # Single-device: plain placement, no NamedSharding.  The remote-TPU
@@ -619,6 +631,18 @@ class MeshRunner:
                     cat, out_shardings=self._NS(self.mesh, spec)
                 )(self.all_ids, self.all_counts)
         return self._all_pair
+
+    @property
+    def all_lane(self):
+        """Replicated lane-bucketed [G_pad, 2*D*128] profiles for the
+        lane join kernel (built on host, one upload, memoized)."""
+        if self._all_lane is None:
+            from pandelos_tpu.ops.lane_join import pack_lane_profiles
+
+            packed, D = pack_lane_profiles(self.index, self.G_pad)
+            self.lane_D = D
+            self._all_lane = self._replicate(packed)
+        return self._all_lane
 
     # --- extraction ------------------------------------------------------
     def _pad_starts(self, starts: np.ndarray, inert: int):
@@ -694,11 +718,20 @@ class MeshRunner:
         (pi, pj, inter, perc, tr, valid); padding slots carry pi == G.
         """
         interpret = jax.default_backend() == "cpu"
-        fn = _flatten_join_program(
-            self.mesh, self.axis, pair_cap, chunk, self.w_pad, interpret
-        )
+        if self.join_kernel == "lane":
+            profiles = self.all_lane  # also sets lane_D
+            fn = _flatten_join_program(
+                self.mesh, self.axis, pair_cap, chunk, self.w_pad,
+                interpret, kernel="lane", lane_D=self.lane_D,
+            )
+        else:
+            profiles = self.all_pair
+            fn = _flatten_join_program(
+                self.mesh, self.axis, pair_cap, chunk, self.w_pad,
+                interpret,
+            )
         return fn(
-            grow, cand, counts, self.all_pair, self.col_lens,
+            grow, cand, counts, profiles, self.col_lens,
             jnp.int32(self.G), jnp.float32(self.k2),
         )
 
@@ -707,15 +740,20 @@ class MeshRunner:
         candidate counts [S * n_dev * R]: the max per-shard total, rounded
         to a power of two (bounded program variants), with the join chunk
         capped at the Pallas expansion budget."""
-        from pandelos_tpu.ops.pallas_join import _CHUNK, _PAIR_BLOCK
+        from pandelos_tpu.ops import lane_join, pallas_join
 
+        _PAIR_BLOCK = pallas_join._PAIR_BLOCK
+        full_chunk = (
+            lane_join._CHUNK if self.join_kernel == "lane"
+            else pallas_join._CHUNK
+        )
         nf = np.where(counts_h > cand_cap, 0, counts_h)
         per_shard = nf.reshape(self.n_dev, -1).sum(axis=1, dtype=np.int64)
         worst = int(per_shard.max(initial=0))
         if worst >= 2**31:
             raise ValueError("pair list exceeds int32 indexing")
         interpret = jax.default_backend() == "cpu"
-        full = _CHUNK if not interpret else 256
+        full = full_chunk if not interpret else 256
         pair_cap = _next_pow2(max(worst, _PAIR_BLOCK))
         chunk = min(full, pair_cap)
         return pair_cap, chunk

@@ -136,6 +136,20 @@ def main(argv=None) -> int:
     p_syn.add_argument("preset", help="toy|salmonella7|escherichia10|xanthomonas14|mycoplasma64")
     p_syn.add_argument("output")
 
+    p_ex = sub.add_parser(
+        "examples",
+        help="run all four reference datasets end-to-end + quality "
+        "(example/run_examples.sh:3-13; synth presets stand in for the "
+        "NCBI download)",
+    )
+    p_ex.add_argument("workdir")
+    p_ex.add_argument(
+        "--presets",
+        default="salmonella7,escherichia10,xanthomonas14,mycoplasma64",
+        help="comma-separated preset subset",
+    )
+    _add_config_args(p_ex)
+
     args = parser.parse_args(argv)
 
     try:
@@ -274,6 +288,39 @@ def _dispatch(args) -> int:
         ds = generate_preset(args.preset)
         write_faa(args.output, ds)
         print(json.dumps({"n_sequences": ds.n_sequences, "n_genomes": ds.n_genomes}))
+        return 0
+
+    if args.cmd == "examples":
+        # the reference's example runner (example/run_examples.sh:3-13):
+        # per dataset, download -> pandelos -> quality.py; here the synth
+        # preset stands in for the network-gated NCBI download (C24) and
+        # quality_report mirrors example/quality.py.
+        import os
+        import time
+
+        from pandelos_tpu.bench.quality import quality_report
+        from pandelos_tpu.bench.synth import generate_preset
+        from pandelos_tpu.io.faa import write_faa
+        from pandelos_tpu.pipeline import run_pipeline
+
+        os.makedirs(args.workdir, exist_ok=True)
+        summary = {}
+        for preset in args.presets.split(","):
+            preset = preset.strip()
+            faa = os.path.join(args.workdir, f"{preset}.faa")
+            if not os.path.exists(faa):
+                write_faa(faa, generate_preset(preset))
+            prefix = os.path.join(args.workdir, preset)
+            t0 = time.monotonic()
+            res = run_pipeline(faa, prefix, _config_from_args(args))
+            summary[preset] = {
+                "elapsed_s": round(time.monotonic() - t0, 3),
+                "n_families": res.stats.get("n_families"),
+                "quality": quality_report(faa, prefix + ".clus"),
+            }
+            print(json.dumps({preset: summary[preset]}), flush=True)
+        with open(os.path.join(args.workdir, "examples.json"), "w") as fh:
+            json.dump(summary, fh, indent=2)
         return 0
 
     return 2

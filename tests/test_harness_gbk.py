@@ -111,6 +111,23 @@ def test_cli_new_subcommands(tmp_path):
     assert main(["bench", sub, str(tmp_path / "b"), "--backend", "oracle"]) == 0
 
 
+def test_cli_examples_runner(tmp_path):
+    """C27: the one-command example runner (example/run_examples.sh:3-13)
+    — synth stand-in, pipeline, quality report per dataset."""
+    import json
+
+    from pandelos_tpu.cli import main
+
+    wd = str(tmp_path / "wd")
+    assert main(
+        ["examples", wd, "--presets", "toy", "--backend", "oracle"]
+    ) == 0
+    summary = json.load(open(str(tmp_path / "wd" / "examples.json")))
+    assert summary["toy"]["n_families"] == 4
+    assert summary["toy"]["quality"]["n_genomes"] == 2
+    assert (tmp_path / "wd" / "toy.clus").exists()
+
+
 def test_run_measured_subprocess(tmp_path):
     """Per-run child-process rusage (manager.rs:79-98 semantics): the
     child's memory_mb is its own peak, not this process's high-water."""

@@ -166,7 +166,12 @@ def _bbh_local(
         & (score >= row_thr[:, None])
     )
 
-    emask = accept | intra
+    # Emit each unordered cell ONCE (canonical col > row): accept and
+    # intra are direction-symmetric (score, the two maxima tests and the
+    # validity are all symmetric in (i, j)), so the mirrored emission the
+    # host used to dedup away is pure fetch cost.  The host mirrors the
+    # shipped cells for the genome-pair statistics.
+    emask = (accept | intra) & (cand_f > grow_f[:, None])
     flat = emask.reshape(-1)
     (idx,) = jnp.nonzero(flat, size=edge_cap, fill_value=-1)
     safe = jnp.maximum(idx, 0)
@@ -383,7 +388,8 @@ def compute_network_device(
     lens_r = runner._replicate(lens_pad)
     genome_r = runner._replicate(genome_pad)
 
-    edge_cap = max(1 << 14, _next_pow2(8 * G // runner.n_dev))
+    # canonical emission: each unordered cell ships once
+    edge_cap = max(1 << 14, _next_pow2(4 * G // runner.n_dev))
     while True:
         fn = _bbh_program(
             runner.mesh, runner.axis, n_gen, edge_cap, use_pallas
@@ -445,14 +451,25 @@ def compute_network_device(
 
     # genome-pair statistics from the shipped accepted cells — the same
     # aggregates the host path produces (net.py build_network, mirroring
-    # Pangenes.java:130-143's prints)
-    gi = np.asarray(index.seq_genome)[e_row]
-    gj = np.asarray(index.seq_genome)[e_col]
+    # Pangenes.java:130-143's prints).  The device now ships each cell
+    # once (canonical col > row); accepted inter-genome cells — which
+    # the reference sees from BOTH rows' passes — are mirrored back on
+    # host (row/col and perc/tr exchange) before aggregating, restoring
+    # the pre-canonical-emission statistics exactly.
+    acc_m = np.flatnonzero(e_acc)
+    m_row = np.concatenate([e_row, e_col[acc_m]])
+    m_col = np.concatenate([e_col, e_row[acc_m]])
+    m_perc = np.concatenate([e_perc, e_tr[acc_m]])
+    m_tr = np.concatenate([e_tr, e_perc[acc_m]])
+    m_acc = np.concatenate([e_acc, e_acc[acc_m]])
+    m_scores = np.concatenate([scores, scores[acc_m]])
+    gi = np.asarray(index.seq_genome)[m_row]
+    gj = np.asarray(index.seq_genome)[m_col]
     inter_keys = np.unique(key[e_acc])
     intra_keys = np.unique(key[~e_acc])
     stats = {
         "n_cells": int(n_valid_h.sum()),
-        "n_accepted_inter_cells": int(e_acc.sum()),
+        "n_accepted_inter_cells": int(m_acc.sum()),
         "n_inter_edges": int(inter_keys.size),
         "n_intra_edges": int(intra_keys.size),
         "n_edges": len(edges),
@@ -464,12 +481,12 @@ def compute_network_device(
         "device_bbh": True,
         "n_devices": runner.n_dev,
     }
-    if n_gen <= 128 and e_acc.any():
+    if n_gen <= 128 and m_acc.any():
         lens64 = np.asarray(index.kseq_lengths, np.float32)
-        ai, aj = gi[e_acc], gj[e_acc]
-        asc = scores[e_acc]
-        ap = e_perc[e_acc] / lens64[e_row[e_acc]]
-        atp = e_tr[e_acc] / lens64[e_col[e_acc]]
+        ai, aj = gi[m_acc], gj[m_acc]
+        asc = m_scores[m_acc]
+        ap = m_perc[m_acc] / lens64[m_row[m_acc]]
+        atp = m_tr[m_acc] / lens64[m_col[m_acc]]
         gp_sum = np.zeros((n_gen, n_gen), np.float64)
         gp_cnt = np.zeros((n_gen, n_gen), np.int64)
         gp_min = np.full((n_gen, n_gen), 1.0, np.float32)

@@ -52,6 +52,12 @@ class PipelineConfig:
     # ops/lane_join.py — no alignment search, ~10x fewer VPU ops) or
     # "roll" (compare-and-rotate, ops/pallas_join.py).
     join_kernel: str = "lane"
+    # Ring-sharded extraction (ops/ring.py): signatures column-sharded
+    # over the mesh and rotated with ppermute instead of replicated —
+    # the memory-scaling mode for datasets whose replicated signatures
+    # exceed one device's HBM (see ops/candidate.memory_model).
+    # Requires n_devices >= 2; cells are identical either way.
+    ring_extract: bool = False
 
     # --- parallelism
     # Number of devices to shard the row-block axis of the scoring mesh

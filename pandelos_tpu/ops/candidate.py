@@ -433,14 +433,15 @@ def _extract_program(mesh, axis: str, row_block: int, w_row: int,
 
 def _flatten_join_program(mesh, axis: str, pair_cap: int, chunk: int,
                           w_pad: int, interpret: bool,
-                          kernel: str = "roll", lane_D: int = 0):
+                          kernel: str = "roll", lane_D: int = 0,
+                          ring: bool = False):
     from jax.sharding import PartitionSpec as P
 
     from pandelos_tpu.ops.lane_join import lane_join_core
     from pandelos_tpu.ops.pallas_join import join_pairs_core
 
     key = ("fj", mesh, axis, pair_cap, chunk, w_pad, interpret,
-           kernel, lane_D)
+           kernel, lane_D, ring)
     fn = _PROGRAM_CACHE.get(key)
     if fn is not None:
         return fn
@@ -479,14 +480,25 @@ def _flatten_join_program(mesh, axis: str, pair_cap: int, chunk: int,
     if mesh.size == 1:
         fn = jax.jit(local)  # see _extract_program: no shard_map on 1 device
     else:
+        if ring:
+            # ring layout: extraction outputs carry a leading ring-step
+            # axis; rows are sharded on the second axis
+            row_specs = (
+                P(None, axis, None),        # grow [steps, S*n, R]
+                P(None, axis, None, None),  # cand
+                P(None, axis, None),        # counts
+            )
+        else:
+            row_specs = (
+                P(axis, None),
+                P(axis, None, None),
+                P(axis, None),
+            )
         fn = jax.jit(
             jax.shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(
-                    P(axis, None),
-                    P(axis, None, None),
-                    P(axis, None),
+                in_specs=row_specs + (
                     P(None, None),
                     P(None),
                     P(),
@@ -706,6 +718,7 @@ class MeshRunner:
     # --- fused flatten + Pallas join + validity ---------------------------
     def flatten_join(
         self, grow, cand, counts, cand_cap: int, pair_cap: int, chunk: int,
+        ring: bool = False,
     ):
         """Per shard: compact the (cand, counts) extraction output into a
         flat pair list (slot p -> row r by searchsorted over the cumsum of
@@ -722,13 +735,13 @@ class MeshRunner:
             profiles = self.all_lane  # also sets lane_D
             fn = _flatten_join_program(
                 self.mesh, self.axis, pair_cap, chunk, self.w_pad,
-                interpret, kernel="lane", lane_D=self.lane_D,
+                interpret, kernel="lane", lane_D=self.lane_D, ring=ring,
             )
         else:
             profiles = self.all_pair
             fn = _flatten_join_program(
                 self.mesh, self.axis, pair_cap, chunk, self.w_pad,
-                interpret,
+                interpret, ring=ring,
             )
         return fn(
             grow, cand, counts, profiles, self.col_lens,
@@ -759,9 +772,12 @@ class MeshRunner:
         return pair_cap, chunk
 
 
-def get_runner(index: KmerIndex, padded, sig_mass, config) -> MeshRunner:
-    """Cached MeshRunner for (padded shapes, device count)."""
-    rkey = ("runner", padded.ids.shape, _resolve_n_devices(config))
+def get_runner(index: KmerIndex, padded, sig_mass, config,
+               tag: str = "") -> MeshRunner:
+    """Cached MeshRunner for (padded shapes, device count).  ``tag``
+    separates runners whose signature payload differs (the ring path
+    passes a stub — its signatures live sharded inside the program)."""
+    rkey = ("runner", padded.ids.shape, _resolve_n_devices(config), tag)
     cache = index._pad_cache  # populated by pad_profiles
     runner = cache.get(rkey)
     if runner is None:
@@ -810,6 +826,86 @@ def work_model(
     }
 
 
+def memory_model(
+    index: KmerIndex, config: Optional[PipelineConfig] = None,
+    hbm_budget_bytes: float = 14e9,
+) -> dict:
+    """Per-device HBM accounting for the replicated engine vs the ring
+    mode (VERDICT r3 next #4): which arrays replicate, where the wall
+    is, and whether the dataset fits.
+
+    Replicated engine (ops/candidate.py): signatures [G_pad, B] bf16
+    dominate; profiles (packed int32 upload + unpacked ids/counts) and
+    the lane-join table follow.  Ring mode (ops/ring.py) shards the
+    signatures (own-rows slice + one rotating column shard), leaving
+    profile replication as the next, much higher wall.
+    """
+    from pandelos_tpu.ops.pallas_hist import pick_buckets
+
+    config = config or PipelineConfig()
+    G = index.n_sequences
+    wm = work_model(index, config)
+    if G == 0:
+        return {"fits_replicated": True, "fits_ring": True, **wm}
+    n_dev = max(1, _resolve_n_devices(config))
+    G_pad = wm["padded_genes"]
+    W = wm["padded_width"]
+    B = wm["signature_buckets"]
+    D_est = W // 128 + 10  # lane depth: W/128 mean + Poisson tail
+    sig = 2 * G_pad * B          # bf16 mass (presence fused in-program)
+    profiles = 3 * 4 * G_pad * W  # packed upload + unpacked ids/counts
+    lane = 2 * 4 * G_pad * D_est * 128
+    R = min(config.row_block, _round_up(G, 8))
+    workspace = 4 * 4 * R * G_pad + 6 * 4 * (1 << 21)  # masks + flat pairs
+    replicated_total = sig + profiles + lane + workspace
+    ring_total = 2 * sig // n_dev + profiles + lane + workspace
+    return {
+        **wm,
+        "n_devices": n_dev,
+        "hbm_budget_bytes": hbm_budget_bytes,
+        "sig_bytes": int(sig),
+        "profile_bytes": int(profiles),
+        "lane_table_bytes": int(lane),
+        "workspace_bytes": int(workspace),
+        "replicated_bytes_per_device": int(replicated_total),
+        "ring_bytes_per_device": int(ring_total),
+        "fits_replicated": replicated_total <= hbm_budget_bytes,
+        "fits_ring": ring_total <= hbm_budget_bytes,
+    }
+
+
+def check_hbm_fit(index: KmerIndex, config) -> None:
+    """Fail fast with an actionable message when the replicated engine's
+    per-device footprint exceeds the HBM model, instead of letting the
+    backend OOM mid-run.  ``PANDELOS_IGNORE_HBM_MODEL=1`` overrides (the
+    model is analytic, not measured)."""
+    import os
+
+    if os.environ.get("PANDELOS_IGNORE_HBM_MODEL") == "1":
+        return
+    if jax.default_backend() == "cpu":
+        return  # host RAM, not HBM
+    mm = memory_model(index, config)
+    if mm["fits_replicated"]:
+        return
+    hint = (
+        "set config.ring_extract=True on a multi-device mesh "
+        "(signatures shard + rotate; see ops/ring.py)"
+        if mm["fits_ring"] and mm["n_devices"] > 1
+        else "this dataset exceeds even the ring mode's per-device "
+        "footprint (profiles replicate); shard the input by genome "
+        "subsets (cli reinput) or add devices"
+    )
+    raise MemoryError(
+        f"replicated engine needs ~{mm['replicated_bytes_per_device']/1e9:.1f}GB"
+        f"/device (budget {mm['hbm_budget_bytes']/1e9:.1f}GB): "
+        f"sig {mm['sig_bytes']/1e9:.1f}GB + profiles "
+        f"{mm['profile_bytes']/1e9:.1f}GB + lane "
+        f"{mm['lane_table_bytes']/1e9:.1f}GB; {hint}; "
+        f"PANDELOS_IGNORE_HBM_MODEL=1 overrides"
+    )
+
+
 def compute_cells_candidate(
     index: KmerIndex, config: Optional[PipelineConfig] = None
 ) -> ScoreCells:
@@ -834,6 +930,7 @@ def compute_cells_candidate(
         return ScoreCells(z32, z32, z64, z64, z64)
 
     use_pallas = config.backend == "pallas"
+    check_hbm_fit(index, config)
     row_block = min(config.row_block, _round_up(G, 8))
     col_block = min(config.col_block, _round_up(G, 128))
     padded = pad_profiles(index, row_block, col_block)

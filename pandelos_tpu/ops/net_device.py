@@ -299,6 +299,7 @@ def compute_network_device(
     from pandelos_tpu.ops.candidate import (
         _next_pow2,
         build_signatures,
+        check_hbm_fit,
         get_runner,
     )
     from pandelos_tpu.ops.score import pad_profiles
@@ -321,6 +322,7 @@ def compute_network_device(
         return [], {"n_cells": 0}
 
     use_pallas = config.backend == "pallas"
+    check_hbm_fit(index, config)
     row_block = min(config.row_block, _round_up(G, 8))
     col_block = min(config.col_block, _round_up(G, 128))
     padded = pad_profiles(index, row_block, col_block)
@@ -388,8 +390,20 @@ def compute_network_device(
     lens_r = runner._replicate(lens_pad)
     genome_r = runner._replicate(genome_pad)
 
-    # canonical emission: each unordered cell ships once
-    edge_cap = max(1 << 14, _next_pow2(4 * G // runner.n_dev))
+    # Canonical emission: every emitted cell is valid, valid pairs pass
+    # the bound in both orientations, so globally emitted cells <= half
+    # the candidate slots — exact on one device; per shard a pair's
+    # mirror slot can sit elsewhere, so the doubling loop below remains
+    # as safety.  (The old 8*G heuristic was exceeded on every
+    # Mycoplasma-scale call, silently re-running the whole BBH program
+    # at a doubled cap each time.)
+    nf_cap = np.minimum(counts_h, K)
+    per_shard_pairs = nf_cap.reshape(runner.n_dev, -1).sum(
+        axis=1, dtype=np.int64
+    )
+    edge_cap = max(
+        1 << 14, _next_pow2(int(per_shard_pairs.max(initial=0)) // 2 + 1)
+    )
     while True:
         fn = _bbh_program(
             runner.mesh, runner.axis, n_gen, edge_cap, use_pallas

@@ -49,20 +49,12 @@ def _bf16_round_up_f32(x):
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_buckets", "shift", "round_up_bf16")
-)
-def device_histogram(
+def histogram_core(
     ids, counts, n_buckets: int, shift: int, round_up_bf16: bool = False
 ):
-    """[G_pad, W] sorted profiles -> [G_pad, n_buckets] bucket masses
-    (f32, or bf16 rounded UP when ``round_up_bf16`` — fused per chunk so
-    the full-size f32 result is never materialized; at Mycoplasma-64
-    scale that is a 3.2GB HBM saving).
-
-    Padding entries must use a sentinel id with ``sentinel >> shift >=
-    n_buckets`` (their hi-level one-hot row is all zero, so they never
-    contribute)."""
+    """Traceable core of :func:`device_histogram` — callable from inside
+    ``shard_map`` (the ring-extraction mode histograms shard-local
+    profile slices without ever materializing the global signatures)."""
     G_pad, W = ids.shape
     assert n_buckets % _LANES == 0
     H = n_buckets // _LANES
@@ -106,6 +98,23 @@ def device_histogram(
         (G_pad, n_buckets), jnp.bfloat16 if round_up_bf16 else jnp.float32
     )
     return jax.lax.fori_loop(0, n_chunks, body, out0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_buckets", "shift", "round_up_bf16")
+)
+def device_histogram(
+    ids, counts, n_buckets: int, shift: int, round_up_bf16: bool = False
+):
+    """[G_pad, W] sorted profiles -> [G_pad, n_buckets] bucket masses
+    (f32, or bf16 rounded UP when ``round_up_bf16`` — fused per chunk so
+    the full-size f32 result is never materialized; at Mycoplasma-64
+    scale that is a 3.2GB HBM saving).
+
+    Padding entries must use a sentinel id with ``sentinel >> shift >=
+    n_buckets`` (their hi-level one-hot row is all zero, so they never
+    contribute)."""
+    return histogram_core(ids, counts, n_buckets, shift, round_up_bf16)
 
 
 def host_histogram(ids, counts, n_buckets: int, shift: int):

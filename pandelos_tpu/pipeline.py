@@ -62,6 +62,10 @@ def compute_cells(index: KmerIndex, config: PipelineConfig) -> ScoreCells:
 
         return compute_cells_xla(index, config)
     if backend in ("xla", "pallas"):
+        if config.ring_extract:
+            from pandelos_tpu.ops.ring import compute_cells_ring
+
+            return compute_cells_ring(index, config)
         from pandelos_tpu.ops.candidate import compute_cells_candidate
 
         return compute_cells_candidate(index, config)

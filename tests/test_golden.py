@@ -83,3 +83,51 @@ def test_oracle_reproduces_mycoplasma16_reference_golden(tmp_path):
     assert filecmp.cmp(prefix + ".clus",
                        os.path.join(cache, "mycoplasma16.clus"),
                        shallow=False)
+
+
+@pytest.mark.parametrize(
+    "preset", ["salmonella7", "escherichia10", "xanthomonas14"]
+)
+def test_dataset_preset_clus_regenerates_from_net(preset, tmp_path):
+    """All-dataset golden pinning (VERDICT r3 next #5): for each of the
+    remaining reference benchmark datasets (example/*.list.txt,
+    README.md:82-88) the committed .clus must byte-regenerate from the
+    committed .net through the clustering stage — pinning the netclu
+    semantics at salmonella/escherichia/xanthomonas scale without the
+    minutes-long score recompute (full pipeline parity at this scale:
+    PANDELOS_SLOW_TESTS=1, below)."""
+    from pandelos_tpu.pipeline import cluster_from_net
+
+    cache = os.path.join(os.path.dirname(__file__), "..", "bench_cache")
+    faa = os.path.join(cache, f"{preset}.faa")
+    if not os.path.exists(faa):
+        pytest.skip(f"{preset} goldens not present")
+    prefix = str(tmp_path / preset)
+    cluster_from_net(faa, os.path.join(cache, f"{preset}.net"), prefix)
+    assert filecmp.cmp(
+        prefix + ".clus", os.path.join(cache, f"{preset}.clus"),
+        shallow=False,
+    )
+
+
+@pytest.mark.skipif(
+    os.environ.get("PANDELOS_SLOW_TESTS") != "1",
+    reason="minutes-long full-scale recompute; set PANDELOS_SLOW_TESTS=1",
+)
+@pytest.mark.parametrize(
+    "preset", ["salmonella7", "escherichia10", "xanthomonas14"]
+)
+def test_dataset_preset_full_pipeline_golden(preset, tmp_path):
+    """Full pipeline byte-parity on the three enterobacteria-scale
+    presets (oracle path vs committed reference-backend goldens)."""
+    cache = os.path.join(os.path.dirname(__file__), "..", "bench_cache")
+    faa = os.path.join(cache, f"{preset}.faa")
+    if not os.path.exists(faa):
+        pytest.skip(f"{preset} goldens not present")
+    prefix = str(tmp_path / preset)
+    run_pipeline(faa, prefix, PipelineConfig(backend="oracle"))
+    for suffix in (".net", ".clus"):
+        assert filecmp.cmp(
+            prefix + suffix, os.path.join(cache, preset + suffix),
+            shallow=False,
+        )

@@ -138,7 +138,10 @@ def _watchdog_main() -> int:
     cold_e2e = None
     cold_note = None
 
-    probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "600"))
+    # Observed tunnel wedge durations run 60-90+ minutes (round-4 log);
+    # a 15-minute probe window is the compromise between waiting out a
+    # recovery and not eating the driver's whole capture budget.
+    probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "900"))
     healthy = _device_healthy(min(probe_budget, remaining()))
 
     if healthy:

@@ -136,6 +136,14 @@ def main(argv=None) -> int:
     p_syn.add_argument("preset", help="toy|salmonella7|escherichia10|xanthomonas14|mycoplasma64")
     p_syn.add_argument("output")
 
+    p_rc = sub.add_parser(
+        "refcheck",
+        help="bit-exact cell diff vs the reference's own compiled C++ "
+        "kernel (needs the reference tree; PANDELOS_REF_ROOT)",
+    )
+    p_rc.add_argument("input")
+    p_rc.add_argument("--k", type=int, default=None)
+
     p_ex = sub.add_parser(
         "examples",
         help="run all four reference datasets end-to-end + quality "
@@ -289,6 +297,41 @@ def _dispatch(args) -> int:
         write_faa(args.output, ds)
         print(json.dumps({"n_sequences": ds.n_sequences, "n_genomes": ds.n_genomes}))
         return 0
+
+    if args.cmd == "refcheck":
+        from pandelos_tpu.index import build_index
+        from pandelos_tpu.io.faa import read_faa
+        from pandelos_tpu.ksel import select_k
+        from pandelos_tpu.native.ref_oracle import (
+            our_cells_bits,
+            reference_available,
+            reference_cells,
+        )
+
+        if not reference_available():
+            print("error: reference tree not found (PANDELOS_REF_ROOT)",
+                  file=sys.stderr)
+            return 2
+        ds = read_faa(args.input)
+        k = args.k if args.k is not None else select_k(ds.sequences)
+        theirs = reference_cells(args.input, k)
+        ours = our_cells_bits(build_index(ds, k=k))
+        only_ours = len(set(ours) - set(theirs))
+        only_theirs = len(set(theirs) - set(ours))
+        bit_diffs = sum(
+            1 for xy in ours if xy in theirs and ours[xy] != theirs[xy]
+        )
+        report = {
+            "k": k,
+            "cells_ours": len(ours),
+            "cells_reference": len(theirs),
+            "only_ours": only_ours,
+            "only_reference": only_theirs,
+            "bit_diffs": bit_diffs,
+            "identical": not (only_ours or only_theirs or bit_diffs),
+        }
+        print(json.dumps(report, indent=2))
+        return 0 if report["identical"] else 1
 
     if args.cmd == "examples":
         # the reference's example runner (example/run_examples.sh:3-13):

@@ -192,11 +192,99 @@ def _bbh_local(
     )
 
 
+def _bbh_flat_local(
+    grow_l, cand_l, counts_l, pi, pj, fi, fp, ft, fv,
+    inv_perm, lens, genome_of, axis, n_gen: int, edge_cap: int,
+):
+    """Flat-pair BBH: exact scores are computed ONCE per flatten_join
+    pair (exact_div over [pair_cap], not per [rows, K] slot — the limb
+    arithmetic is the expensive op), re-expanded to the [rows, K] maxima
+    structure by a single gather; the emitted cells' integer counters
+    are fetched from the flat arrays at their flat positions, so
+    perc/tr/inter are never re-expanded at all."""
+    K = cand_l.shape[-1]
+    gf = grow_l.reshape(-1)
+    cf = cand_l.reshape(-1, K)
+    nf = counts_l.reshape(-1)
+    nf = jnp.where(nf > K, 0, nf)
+    cs = jnp.cumsum(nf)
+    base = cs - nf  # exclusive cumsum: same layout flatten_join used
+    P = gf.shape[0]
+    rc = _row_chunk(P)
+
+    lenA = lens[jnp.minimum(pi, lens.shape[0] - 1)]
+    lenB = lens[jnp.minimum(pj, lens.shape[0] - 1)]
+    union = lenA + lenB - fi
+    score_f = exact_div_f32(
+        jnp.maximum(fi, 1.0).astype(jnp.int32),
+        jnp.maximum(union, 1.0).astype(jnp.int32),
+    )
+    # score > 0 encodes exactly "validity-passing cell with shared
+    # k-mers" (library.cpp:499-512) — the only predicate BBH needs
+    score_f = jnp.where(fv & (fi > 0), score_f, 0.0)
+
+    sidx = jnp.arange(K, dtype=jnp.int32)[None, :]
+    slot_ok = sidx < nf[:, None]
+    idx = jnp.minimum(base[:, None] + sidx, score_f.shape[0] - 1)
+    score = jnp.where(slot_ok, score_f[idx], 0.0)  # [P, K]
+
+    g_i = genome_of[jnp.minimum(gf, genome_of.shape[0] - 1)]
+    g_j = genome_of[cf]
+    M_local = _chunked_genome_max(score, g_j, n_gen, rc)
+    if axis is None:
+        M = M_local
+    else:
+        M = jax.lax.all_gather(M_local, axis, tiled=True)
+    jpos = inv_perm[cf]
+    M_at_gj = jnp.take_along_axis(M_local, g_j, axis=1)
+    M_j_gi = M[jpos, g_i[:, None]]
+    inter_genome = g_j != g_i[:, None]
+    accept = (
+        (score > 0) & inter_genome & (score == M_at_gj) & (score == M_j_gi)
+    )
+    lt1 = accept & (score < 1.0)
+    M2 = _chunked_genome_max(jnp.where(lt1, score, 0.0), g_j, n_gen, rc)
+    ims = _genome_segment_max(M2, g_i, n_gen, rc)
+    if axis is not None:
+        ims = jax.lax.pmax(ims, axis)
+    thr_cell = ims[g_i[:, None], g_j]
+    row_thr = jnp.min(jnp.where(accept, thr_cell, jnp.inf), axis=1)
+    intra = (
+        (score > 0)
+        & (~inter_genome)
+        & (gf[:, None] < cf)
+        & (score == M_at_gj)
+        & (score == M_j_gi)
+        & (score >= row_thr[:, None])
+    )
+    # canonical emission (intra already is; accept is symmetric)
+    emask = (accept | intra) & (cf > gf[:, None])
+    flat = emask.reshape(-1)
+    (eidx,) = jnp.nonzero(flat, size=edge_cap, fill_value=-1)
+    safe = jnp.maximum(eidx, 0)
+    found = eidx >= 0
+    e_row = jnp.where(found, gf[safe // K], -1)
+    e_col = cf.reshape(-1)[safe]
+    fpos = jnp.minimum(
+        base[safe // K] + (safe % K), score_f.shape[0] - 1
+    )
+    e_inter = fi[fpos]
+    e_perc = fp[fpos]
+    e_tr = ft[fpos]
+    e_acc = accept.reshape(-1)[safe] & found
+    n_edges = jnp.sum(emask, dtype=jnp.int32)[None]
+    n_valid = jnp.sum(score_f > 0, dtype=jnp.int32)[None]
+    return (
+        e_row, e_col, e_inter, e_perc, e_tr, e_acc,
+        n_edges, n_valid, ims,
+    )
+
+
 def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool):
     """shard_map BBH program.  ``flat`` consumes the flatten_join pair
-    counters and re-expands them to [rows, K] by gather (the pallas
-    backend); otherwise the [blocks, R, K] in-scan join outputs are used
-    directly (the xla backend)."""
+    lists + counters directly (the pallas backend; see _bbh_flat_local);
+    otherwise the [blocks, R, K] in-scan join outputs are used directly
+    (the xla backend)."""
     from jax.sharding import PartitionSpec as P
 
     key = ("bbh", mesh, axis, n_gen, edge_cap, flat)
@@ -208,24 +296,10 @@ def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool):
         axis = None  # identity collectives in _bbh_local
 
     if flat:
-        def local(grow_l, cand_l, counts_l, fi, fp, ft, fv,
+        def local(grow_l, cand_l, counts_l, pi, pj, fi, fp, ft, fv,
                   inv_perm, lens, genome_of):
-            K = cand_l.shape[-1]
-            gf = grow_l.reshape(-1)
-            cf = cand_l.reshape(-1, K)
-            nf = counts_l.reshape(-1)
-            nf = jnp.where(nf > K, 0, nf)
-            cs = jnp.cumsum(nf)
-            base = cs - nf  # exclusive cumsum: same layout flatten_join used
-            sidx = jnp.arange(K, dtype=jnp.int32)[None, :]
-            slot_ok = sidx < nf[:, None]
-            idx = jnp.minimum(base[:, None] + sidx, fi.shape[0] - 1)
-            inter_rk = jnp.where(slot_ok, fi[idx], 0.0)
-            perc_rk = jnp.where(slot_ok, fp[idx], 0.0)
-            tr_rk = jnp.where(slot_ok, ft[idx], 0.0)
-            valid_rk = slot_ok & fv[idx]
-            return _bbh_local(
-                gf, cf, inter_rk, perc_rk, tr_rk, valid_rk,
+            return _bbh_flat_local(
+                grow_l, cand_l, counts_l, pi, pj, fi, fp, ft, fv,
                 inv_perm, lens, genome_of, axis, n_gen, edge_cap,
             )
 
@@ -254,7 +328,8 @@ def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool):
                 P(axis, None),        # grow
                 P(axis, None, None),  # cand
                 P(axis, None),        # counts
-                P(axis), P(axis), P(axis), P(axis),  # flat counters + valid
+                # pi, pj, inter, perc, tr, valid (flat pair arrays)
+                P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
             ) + rep3
         else:
             in_specs = (
@@ -367,10 +442,9 @@ def compute_network_device(
 
     if use_pallas:
         pair_cap, chunk = runner.pair_capacity(counts_h, K)
-        fi, fp, ft, fv = runner.flatten_join(
+        fpi, fpj, fi, fp, ft, fv = runner.flatten_join(
             grow_d, cand_d, counts_d, K, pair_cap, chunk
-        )[2:]
-        # (pi, pj are implicit in the [rows, K] re-expansion)
+        )
         if _trace:
             np.asarray(fi[:8])  # sync point: isolates the join time
         _mark(f"flatten_join(pair_cap={pair_cap})")
@@ -410,7 +484,7 @@ def compute_network_device(
         )
         if use_pallas:
             outs = fn(
-                grow_d, cand_d, counts_d, fi, fp, ft, fv,
+                grow_d, cand_d, counts_d, fpi, fpj, fi, fp, ft, fv,
                 inv_perm_r, lens_r, genome_r,
             )
         else:

@@ -33,9 +33,13 @@ index = build_index(ds, k=k)
 print(f"index_build: {time.monotonic()-t:.2f}s", flush=True)
 
 cfg = PipelineConfig(
-    backend="pallas", row_block=256, col_block=512, level_cap=4,
+    backend="pallas",
+    row_block=int(os.environ.get("PT_ROW_BLOCK", "256")),
+    col_block=int(os.environ.get("PT_COL_BLOCK", "512")),
+    level_cap=4,
     device_bbh=True,
 )
+print(f"row_block={cfg.row_block} col_block={cfg.col_block}", flush=True)
 
 for i in range(3):
     t = time.monotonic()

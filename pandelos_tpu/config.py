@@ -48,10 +48,13 @@ class PipelineConfig:
     # pathological candidate overflow.  None -> on for real accelerator
     # backends (the tunnel is the bottleneck there), off on CPU.
     device_bbh: Optional[bool] = None
-    # Exact-join kernel for the pallas backend: "lane" (lane-bucketed,
-    # ops/lane_join.py — no alignment search, ~10x fewer VPU ops) or
-    # "roll" (compare-and-rotate, ops/pallas_join.py).
-    join_kernel: str = "lane"
+    # Exact-join kernel for the pallas backend: "lane2" (lane-bucketed,
+    # per-gene depth bounds prefetched as scalars, packed id<<8|count
+    # entries — no in-kernel reductions at all; falls back to "lane"
+    # when counts >= 256 or ids >= 2^23), "lane" (lane-bucketed, banded
+    # id-range windows), or "roll" (compare-and-rotate,
+    # ops/pallas_join.py).
+    join_kernel: str = "lane2"
     # Ring-sharded extraction (ops/ring.py): signatures column-sharded
     # over the mesh and rotated with ppermute instead of replicated —
     # the memory-scaling mode for datasets whose replicated signatures

@@ -68,13 +68,17 @@ def build_signatures(
     padded,
     config: Optional[PipelineConfig] = None,
     force_host: bool = False,
+    ids_d=None,
+    counts_d=None,
 ):
     """Range-bucket mass signatures [G_pad, B] as f32 holding exact bf16
     round-up values (upper-bound safe for the bound matmuls).
 
     Built on device by the Pallas histogram kernel when running on TPU
     (scatter-free; host build + upload would cost ~20s/GB over the remote
-    tunnel), by NumPy bincount otherwise.
+    tunnel), by NumPy bincount otherwise.  Pass ``ids_d``/``counts_d``
+    (the runner's device-resident padded profiles) to skip re-uploading
+    the ~244MB unpacked arrays the histogram would otherwise ship.
     """
     from pandelos_tpu.ops.pallas_hist import (
         device_histogram,
@@ -99,7 +103,8 @@ def build_signatures(
     use_device = (not force_host) and jax.default_backend() not in ("cpu",)
     if use_device:
         mass = device_histogram(
-            jnp.asarray(padded.ids), jnp.asarray(padded.counts),
+            jnp.asarray(padded.ids) if ids_d is None else ids_d,
+            jnp.asarray(padded.counts) if counts_d is None else counts_d,
             n_buckets=n_buckets, shift=shift, round_up_bf16=True,
         )
         out = (mass, n_buckets, shift)
@@ -437,7 +442,7 @@ def _flatten_join_program(mesh, axis: str, pair_cap: int, chunk: int,
                           ring: bool = False):
     from jax.sharding import PartitionSpec as P
 
-    from pandelos_tpu.ops.lane_join import lane_join_core
+    from pandelos_tpu.ops.lane_join import lane2_join_core, lane_join_core
     from pandelos_tpu.ops.pallas_join import join_pairs_core
 
     key = ("fj", mesh, axis, pair_cap, chunk, w_pad, interpret,
@@ -446,7 +451,8 @@ def _flatten_join_program(mesh, axis: str, pair_cap: int, chunk: int,
     if fn is not None:
         return fn
 
-    def local(grow_l, cand_l, counts_l, all_pair, col_lens, pad_gene, k2f):
+    def local(grow_l, cand_l, counts_l, all_pair, dg, col_lens, pad_gene,
+              k2f):
         K = cand_l.shape[-1]
         gf = grow_l.reshape(-1)
         cf = cand_l.reshape(-1, K)
@@ -462,7 +468,29 @@ def _flatten_join_program(mesh, axis: str, pair_cap: int, chunk: int,
         ok = p < total
         pi = jnp.where(ok, gf[r_safe], pad_gene).astype(jnp.int32)
         pj = jnp.where(ok, cf[r_safe, s], pad_gene).astype(jnp.int32)
-        if kernel == "lane":
+        if kernel == "lane2":
+            # sort pairs by (depth_a, depth_b) so octets are
+            # depth-homogeneous — the kernel's per-octet loop bounds are
+            # the max over 8 pairs; padding pairs (dg == 0) sort to the
+            # front and cost zero loop iterations
+            da = dg[pi]
+            db = dg[pj]
+            order = jnp.argsort(da * 1024 + db, stable=True).astype(
+                jnp.int32
+            )
+            pi_s = pi[order]
+            pj_s = pj[order]
+            da_oct = jnp.max(da[order].reshape(-1, 8), axis=1)
+            db_oct = jnp.max(db[order].reshape(-1, 8), axis=1)
+            inter_s, perc_s, tr_s = lane2_join_core(
+                all_pair, pi_s, pj_s, da_oct, db_oct,
+                D=lane_D, chunk=chunk, interpret=interpret,
+            )
+            inv = jnp.argsort(order).astype(jnp.int32)
+            inter = inter_s[inv]
+            perc = perc_s[inv]
+            tr = tr_s[inv]
+        elif kernel == "lane":
             inter, perc, tr = lane_join_core(
                 all_pair, pi, pj, D=lane_D, chunk=chunk,
                 interpret=interpret,
@@ -499,8 +527,9 @@ def _flatten_join_program(mesh, axis: str, pair_cap: int, chunk: int,
                 local,
                 mesh=mesh,
                 in_specs=row_specs + (
-                    P(None, None),
-                    P(None),
+                    P(None, None),  # profile table
+                    P(None),        # dg (per-gene lane depths)
+                    P(None),        # col_lens
                     P(),
                     P(),
                 ),
@@ -581,12 +610,23 @@ class MeshRunner:
         else:
             self.all_ids = self._replicate(padded.ids)
             self.all_counts = self._replicate(padded.counts)
-        self.sig = self._replicate(sig_mass)
+        # sig_mass may be None: the production paths build the runner
+        # first so the device histogram can reuse all_ids/all_counts
+        # (saves the ~244MB unpacked re-upload), then call set_sig().
+        self.sig = None if sig_mass is None else self._replicate(sig_mass)
         self.col_lens = self._replicate(lens_pad)
         self.width = self._replicate(width_pad)
         self._all_pair = None
-        self.join_kernel = getattr(config, "join_kernel", "lane")
+        self.packable = bool(packable)
+        self.join_kernel = getattr(config, "join_kernel", "lane2")
+        if self.join_kernel == "lane2" and not packable:
+            # lane2 packs id << 8 | count into one int32 — needs
+            # count < 256 and id < 2^23; otherwise the banded lane
+            # kernel (separate id/count halves) is the exact fallback
+            self.join_kernel = "lane"
         self._all_lane = None
+        self._all_lane2 = None
+        self._dg = None
         self.lane_D = 0
 
     # --- placement helpers ---------------------------------------------
@@ -604,6 +644,13 @@ class MeshRunner:
             return jax.device_put(arr, self.mesh.devices.flat[0])
         spec = self._P(self.axis, *([None] * (arr.ndim - 1)))
         return jax.device_put(arr, self._NS(self.mesh, spec))
+
+    def set_sig(self, sig_mass):
+        """Attach the signature matrix after construction (see __init__:
+        the histogram is built from this runner's own device profiles)."""
+        if self.sig is None:
+            self.sig = self._replicate(sig_mass)
+        return self.sig
 
     def fetch(self, arr) -> np.ndarray:
         """Global sharded array -> host numpy (multi-process safe)."""
@@ -647,14 +694,79 @@ class MeshRunner:
     @property
     def all_lane(self):
         """Replicated lane-bucketed [G_pad, 2*D*128] profiles for the
-        lane join kernel (built on host, one upload, memoized)."""
+        lane join kernel — built ON DEVICE from the already-resident
+        padded profiles (the host pack + its 695MB upload cost ~19s of
+        every fresh-index run at Mycoplasma-64 scale; only the scalar
+        depth D crosses from host).  Memoized per runner."""
         if self._all_lane is None:
-            from pandelos_tpu.ops.lane_join import pack_lane_profiles
+            from pandelos_tpu.ops.lane_join import (
+                lane_depth,
+                pack_lane_device,
+                pack_lane_device_core,
+            )
 
-            packed, D = pack_lane_profiles(self.index, self.G_pad)
+            D = lane_depth(self.index)
             self.lane_D = D
-            self._all_lane = self._replicate(packed)
+            if self.n_dev == 1:
+                self._all_lane = pack_lane_device(
+                    self.all_ids, self.all_counts, D
+                )
+            else:
+                key = ("lanepack", self.mesh, D)
+                fn = _PROGRAM_CACHE.get(key)
+                if fn is None:
+                    spec = self._NS(self.mesh, self._P(None, None))
+                    fn = jax.jit(
+                        lambda a, b, D=D: pack_lane_device_core(a, b, D),
+                        out_shardings=spec,
+                    )
+                    _PROGRAM_CACHE[key] = fn
+                self._all_lane = fn(self.all_ids, self.all_counts)
         return self._all_lane
+
+    @property
+    def all_lane2(self):
+        """Replicated PACKED lane table [G_pad, D*128] (id << 8 | count,
+        empty -256) for the lane2 kernel — device-built like all_lane."""
+        if self._all_lane2 is None:
+            from pandelos_tpu.ops.lane_join import (
+                lane_depth,
+                pack_lane_device,
+                pack_lane_device_core,
+            )
+
+            D = lane_depth(self.index)
+            self.lane_D = D
+            if self.n_dev == 1:
+                self._all_lane2 = pack_lane_device(
+                    self.all_ids, self.all_counts, D, packed=True
+                )
+            else:
+                key = ("lanepack2", self.mesh, D)
+                fn = _PROGRAM_CACHE.get(key)
+                if fn is None:
+                    spec = self._NS(self.mesh, self._P(None, None))
+                    fn = jax.jit(
+                        lambda a, b, D=D: pack_lane_device_core(
+                            a, b, D, packed=True
+                        ),
+                        out_shardings=spec,
+                    )
+                    _PROGRAM_CACHE[key] = fn
+                self._all_lane2 = fn(self.all_ids, self.all_counts)
+        return self._all_lane2
+
+    @property
+    def dg(self):
+        """Replicated per-gene lane depths [G_pad] int32 (lane2 kernel
+        loop bounds; padding genes 0 — zero loop iterations)."""
+        if self._dg is None:
+            from pandelos_tpu.ops.lane_join import lane_depths
+
+            dg_pad = np.zeros(self.G_pad, np.int32)
+            dg_pad[: self.G] = lane_depths(self.index)
+            self._dg = self._replicate(dg_pad)
+        return self._dg
 
     # --- extraction ------------------------------------------------------
     def _pad_starts(self, starts: np.ndarray, inert: int):
@@ -731,7 +843,13 @@ class MeshRunner:
         (pi, pj, inter, perc, tr, valid); padding slots carry pi == G.
         """
         interpret = jax.default_backend() == "cpu"
-        if self.join_kernel == "lane":
+        if self.join_kernel == "lane2":
+            profiles = self.all_lane2  # also sets lane_D
+            fn = _flatten_join_program(
+                self.mesh, self.axis, pair_cap, chunk, self.w_pad,
+                interpret, kernel="lane2", lane_D=self.lane_D, ring=ring,
+            )
+        elif self.join_kernel == "lane":
             profiles = self.all_lane  # also sets lane_D
             fn = _flatten_join_program(
                 self.mesh, self.axis, pair_cap, chunk, self.w_pad,
@@ -744,7 +862,7 @@ class MeshRunner:
                 interpret, ring=ring,
             )
         return fn(
-            grow, cand, counts, profiles, self.col_lens,
+            grow, cand, counts, profiles, self.dg, self.col_lens,
             jnp.int32(self.G), jnp.float32(self.k2),
         )
 
@@ -937,8 +1055,14 @@ def compute_cells_candidate(
     G_pad = padded.ids.shape[0]
     K = config.candidate_cap
 
-    sig_mass, _, _ = build_signatures(index, padded, config)
-    runner = get_runner(index, padded, sig_mass, config)
+    # runner first: the signature histogram reuses its device profiles
+    # (see compute_network_device)
+    runner = get_runner(index, padded, None, config)
+    sig_mass, _, _ = build_signatures(
+        index, padded, config,
+        ids_d=runner.all_ids, counts_d=runner.all_counts,
+    )
+    runner.set_sig(sig_mass)
 
     widths = np.diff(index.profile_ptr)
 

@@ -106,6 +106,128 @@ def pack_lane_profiles(index, G_pad: int):
     return out
 
 
+def lane_depths(index) -> np.ndarray:
+    """Per-gene max lane depth [G] int32 (0 for empty profiles) — the
+    per-gene slot-loop bounds of the lane2 kernel."""
+    cache = getattr(index, "_pad_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(index, "_pad_cache", cache)
+    if "laneDg" in cache:
+        return cache["laneDg"]
+    G = index.n_sequences
+    ids = np.asarray(index.profile_ids)
+    if ids.size == 0:
+        dg = np.zeros(G, np.int32)
+    else:
+        widths = np.diff(index.profile_ptr)
+        g_of = np.repeat(np.arange(G, dtype=np.int64), widths)
+        keys = g_of * _LANE + (ids.astype(np.int64) & (_LANE - 1))
+        per_lane = np.bincount(keys, minlength=G * _LANE)
+        dg = per_lane.reshape(G, _LANE).max(axis=1).astype(np.int32)
+    cache["laneDg"] = dg
+    return dg
+
+
+def lane_depth(index) -> int:
+    """The ``D`` of :func:`pack_lane_profiles` (max (gene, lane)
+    multiplicity), computed with one host bincount.  The full host pack
+    costs ~11s of NumPy at Mycoplasma-64 scale and its 695MB table
+    another ~7s over the remote tunnel; the production path therefore
+    computes only this scalar on host and builds the table on device
+    (:func:`pack_lane_device_core`) from the already-resident padded
+    profiles."""
+    dg = lane_depths(index)
+    return max(1, int(dg.max(initial=0)))
+
+
+def pack_lane_device_core(
+    ids, counts, D: int, row_chunk: int = 128, packed: bool = False
+):
+    """Traceable on-device twin of :func:`pack_lane_profiles`.
+
+    ``ids``/``counts`` are the [G_pad, W] padded profile arrays
+    (``pad_profiles`` layout: id-sorted, left-packed, count == 0 marks
+    padding).  Returns the [G_pad, 2*D*128] lane table, bit-equal to the
+    host pack (``tests/test_lane_join.py``) — or, with ``packed``, the
+    lane2 kernel's single [G_pad, D*128] table with entries
+    ``id << 8 | count`` (count < 256, id < 2^23) and empty slots
+    ``-256``: half the join's gather traffic, and id equality is one
+    ``(a ^ b) >> 8 == 0`` test.
+
+    Per row chunk: lane = id & 127; depth = rank of the slot within its
+    (row, lane) group via a cumsum over the 128-wide lane one-hot
+    (profile order is id order, so depth ascends with id exactly like
+    the host's stable sort); each valid slot scatters to
+    ``depth*128 + lane``.  Scatter indices are unique by construction —
+    padding slots go to a per-slot dump column past the table."""
+    G_pad, W = ids.shape
+    rc = row_chunk
+    while G_pad % rc:
+        rc //= 2
+    WL = D * _LANE
+    stride = WL + W  # dump block: one column per profile slot
+
+    def chunk(ci, out):
+        i0 = ci * rc
+        idc = jax.lax.dynamic_slice(ids, (i0, 0), (rc, W))
+        cnc = jax.lax.dynamic_slice(counts, (i0, 0), (rc, W))
+        valid = cnc > 0
+        lane = idc & (_LANE - 1)
+        onehot = (
+            lane[:, :, None] == jnp.arange(_LANE, dtype=jnp.int32)
+        ) & valid[:, :, None]
+        cum = jnp.cumsum(onehot.astype(jnp.int32), axis=1)
+        depth = jnp.take_along_axis(cum, lane[..., None], axis=2)[..., 0] - 1
+        slot = jnp.arange(W, dtype=jnp.int32)[None, :]
+        pos = jnp.where(valid, depth * _LANE + lane, WL + slot)
+        flat_pos = (
+            jnp.arange(rc, dtype=jnp.int32)[:, None] * stride + pos
+        ).reshape(-1)
+        if packed:
+            vals = jnp.where(valid, (idc << 8) | cnc, -256)
+            blk = (
+                jnp.full((rc * stride,), -256, jnp.int32)
+                .at[flat_pos]
+                .set(vals.reshape(-1), unique_indices=True)
+                .reshape(rc, stride)[:, :WL]
+            )
+        else:
+            lid = (
+                jnp.full((rc * stride,), -1, jnp.int32)
+                .at[flat_pos]
+                .set(
+                    jnp.where(valid, idc, -1).reshape(-1),
+                    unique_indices=True,
+                )
+            )
+            lcn = (
+                jnp.zeros((rc * stride,), jnp.int32)
+                .at[flat_pos]
+                .set(
+                    jnp.where(valid, cnc, 0).reshape(-1),
+                    unique_indices=True,
+                )
+            )
+            blk = jnp.concatenate(
+                [
+                    lid.reshape(rc, stride)[:, :WL],
+                    lcn.reshape(rc, stride)[:, :WL],
+                ],
+                axis=1,
+            )
+        return jax.lax.dynamic_update_slice(out, blk, (i0, 0))
+
+    width = WL if packed else 2 * WL
+    out0 = jnp.full((G_pad, width), -256 if packed else -1, jnp.int32)
+    return jax.lax.fori_loop(0, G_pad // rc, chunk, out0)
+
+
+@functools.partial(jax.jit, static_argnames=("D", "packed"))
+def pack_lane_device(ids, counts, D, packed=False):
+    return pack_lane_device_core(ids, counts, D, packed=packed)
+
+
 def _make_lane_kernel(D: int):
     """Kernel over one [PAIR_BLOCK, 2*D*128] block pair."""
     W = D * _LANE
@@ -264,4 +386,157 @@ def lane_join_core(
 def join_pairs_lane_device(all_lane, a_idx, b_idx, D, chunk, interpret=False):
     return lane_join_core(
         all_lane, a_idx, b_idx, D=D, chunk=chunk, interpret=interpret
+    )
+
+
+# --- lane2: per-octet depth bounds, packed entries, no window logic ------
+#
+# Round-4 measurement (scripts/lane_join_micro.py on v5e): the banded lane
+# kernel runs at ~0.9M pairs/s — the SAME as the rotate kernel it was
+# meant to beat, because its per-(octet, slot) min/max id-range reductions
+# are cross-lane ops (~33 cycles each) and its window tests are scalar
+# chains; the one-compare join itself is a rounding error next to them.
+# lane2 deletes all of it:
+#
+# - loop bounds come from PER-GENE lane depths (host bincount, prefetched
+#   per octet as scalars) instead of per-pair id-range windows — zero
+#   in-kernel reductions.  The flat pair list is sorted by (Da, Db) so
+#   octets are depth-homogeneous and the max-of-8 bound is tight; most
+#   octets run ~Da*Db ~ 10-40 single-compare steps.
+# - table entries pack to id << 8 | count (empty -256): half the gather
+#   bytes, equality is one xor+shift, counts one mask.
+
+def _make_lane2_kernel(D: int):
+    W = D * _LANE
+    n_oct = _PAIR_BLOCK // _OCT
+
+    def kernel(da_ref, db_ref, a_blk, b_blk, inter_ref, perc_ref, tr_ref):
+        p = pl.program_id(0)
+
+        def _place(acc, row_acc, o):
+            sums = jnp.sum(
+                jnp.swapaxes(acc, 0, 1), axis=0, keepdims=True
+            )  # [1, 8]
+            wide = jnp.concatenate(
+                [sums, jnp.zeros((1, _PAIR_BLOCK - _OCT), jnp.float32)],
+                axis=1,
+            )
+            return row_acc + pltpu.roll(wide, o * _OCT, 1)
+
+        inter_row = jnp.zeros((1, _PAIR_BLOCK), jnp.float32)
+        perc_row = jnp.zeros((1, _PAIR_BLOCK), jnp.float32)
+        tr_row = jnp.zeros((1, _PAIR_BLOCK), jnp.float32)
+
+        for o in range(n_oct):
+            sl = slice(o * _OCT, (o + 1) * _OCT)
+            Da = da_ref[p * n_oct + o]
+            Db = db_ref[p * n_oct + o]
+            acc0 = jnp.zeros((_OCT, _LANE), jnp.float32)
+
+            def a_body(da, accs, sl=sl, Db=Db):
+                a_pk = a_blk[sl, pl.ds(da * _LANE, _LANE)]
+                a_cnt = (a_pk & 255).astype(jnp.float32)
+
+                def b_body(db, accs, sl=sl, a_pk=a_pk, a_cnt=a_cnt):
+                    inter_a, perc_a, tr_a = accs
+                    b_pk = b_blk[sl, pl.ds(db * _LANE, _LANE)]
+                    eq = ((a_pk ^ b_pk) >> 8) == 0
+                    b_cnt = (b_pk & 255).astype(jnp.float32)
+                    return (
+                        inter_a
+                        + jnp.where(eq, jnp.minimum(a_cnt, b_cnt), 0.0),
+                        perc_a + jnp.where(eq, a_cnt, 0.0),
+                        tr_a + jnp.where(eq, b_cnt, 0.0),
+                    )
+
+                return jax.lax.fori_loop(0, Db, b_body, accs, unroll=False)
+
+            accs = jax.lax.fori_loop(
+                0, Da, a_body, (acc0, acc0, acc0), unroll=False
+            )
+            inter_row = _place(accs[0], inter_row, o)
+            perc_row = _place(accs[1], perc_row, o)
+            tr_row = _place(accs[2], tr_row, o)
+
+        inter_ref[...] = inter_row
+        perc_ref[...] = perc_row
+        tr_ref[...] = tr_row
+
+    return kernel
+
+
+def lane2_join_core(
+    all_packed,  # int32 [G_pad, D*128] packed lane table (id<<8|cnt)
+    a_idx,  # int32 [P]
+    b_idx,  # int32 [P]
+    da_oct,  # int32 [P // 8] per-octet a-depth bounds
+    db_oct,  # int32 [P // 8] per-octet b-depth bounds
+    D: int,
+    chunk: int,
+    interpret: bool = False,
+):
+    """Exact counters per pair, lane2 kernel.  Callers sort the pair
+    list by (depth_a, depth_b) for homogeneous octets; this core only
+    needs the bounds to be VALID (>= the octet's true depths)."""
+    P = a_idx.shape[0]
+    n_chunks = P // chunk
+    kernel = _make_lane2_kernel(D)
+    W = all_packed.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(chunk // _PAIR_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((_PAIR_BLOCK, W), lambda p, s0, s1: (p, 0)),
+            pl.BlockSpec((_PAIR_BLOCK, W), lambda p, s0, s1: (p, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _PAIR_BLOCK), lambda p, s0, s1: (0, p)),
+            pl.BlockSpec((1, _PAIR_BLOCK), lambda p, s0, s1: (0, p)),
+            pl.BlockSpec((1, _PAIR_BLOCK), lambda p, s0, s1: (0, p)),
+        ],
+    )
+
+    def run_chunk(da_c, db_c, a_exp, b_exp):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((1, chunk), jnp.float32)
+                for _ in range(3)
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(da_c, db_c, a_exp, b_exp)
+
+    def body(ci, outs):
+        ai = jax.lax.dynamic_slice(a_idx, (ci * chunk,), (chunk,))
+        bi = jax.lax.dynamic_slice(b_idx, (ci * chunk,), (chunk,))
+        da_c = jax.lax.dynamic_slice(
+            da_oct, (ci * (chunk // _OCT),), (chunk // _OCT,)
+        )
+        db_c = jax.lax.dynamic_slice(
+            db_oct, (ci * (chunk // _OCT),), (chunk // _OCT,)
+        )
+        a_exp = jnp.take(all_packed, ai, axis=0)
+        b_exp = jnp.take(all_packed, bi, axis=0)
+        inter_c, perc_c, tr_c = run_chunk(da_c, db_c, a_exp, b_exp)
+        return tuple(
+            jax.lax.dynamic_update_slice(o, v.reshape(-1), (ci * chunk,))
+            for o, v in zip(outs, (inter_c, perc_c, tr_c))
+        )
+
+    z = jnp.zeros((P,), jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, body, (z, z, z))
+
+
+@functools.partial(jax.jit, static_argnames=("D", "chunk", "interpret"))
+def join_pairs_lane2_device(
+    all_packed, a_idx, b_idx, da_oct, db_oct, D, chunk, interpret=False
+):
+    return lane2_join_core(
+        all_packed, a_idx, b_idx, da_oct, db_oct,
+        D=D, chunk=chunk, interpret=interpret,
     )

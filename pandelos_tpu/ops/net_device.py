@@ -401,11 +401,19 @@ def compute_network_device(
     row_block = min(config.row_block, _round_up(G, 8))
     col_block = min(config.col_block, _round_up(G, 128))
     padded = pad_profiles(index, row_block, col_block)
+    _mark("setup.pad_profiles")
     G_pad = padded.ids.shape[0]
 
-    sig_mass, _, _ = build_signatures(index, padded, config)
-    runner = get_runner(index, padded, sig_mass, config)
-    _mark("setup(sig+runner)")
+    # runner first: the signature histogram then reads the runner's own
+    # device-resident profiles instead of re-uploading them unpacked
+    runner = get_runner(index, padded, None, config)
+    _mark("setup.runner(upload)")
+    sig_mass, _, _ = build_signatures(
+        index, padded, config,
+        ids_d=runner.all_ids, counts_d=runner.all_counts,
+    )
+    runner.set_sig(sig_mass)
+    _mark("setup.signatures")
 
     widths = np.diff(index.profile_ptr)
     perm = np.argsort(widths, kind="stable").astype(np.int32)

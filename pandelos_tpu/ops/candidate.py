@@ -123,13 +123,13 @@ def build_signatures(
     jax.jit,
     static_argnames=(
         "row_block", "w_row", "cand_cap", "n_true", "k2", "do_join",
-        "upper_only",
+        "upper_only", "from_T",
     ),
 )
 def _candidate_blocks(
     all_ids,  # int32 [G_pad, W]
     all_counts,  # int32 [G_pad, W]
-    sig_mass,  # f32 (bf16 values) [G_pad, B]
+    sig_mass,  # f32 (bf16 values) [G_pad, B]; with from_T: T int8 [GP, GP]
     col_lens,  # f32 [G_pad]
     prof_width,  # int32 [G_pad] true profile widths (0 for padding rows)
     perm_pad,  # int32 [>= n_blocks * row_block] width-sorted gene order
@@ -141,6 +141,7 @@ def _candidate_blocks(
     k2: int,
     do_join: bool = True,
     upper_only: bool = False,
+    from_T: bool = False,
 ):
     """One width bucket's scoring pass: lax.scan over row blocks.
 
@@ -156,55 +157,105 @@ def _candidate_blocks(
     G_pad, W = all_ids.shape
     R = row_block
     K = cand_cap
-    sig_bf = sig_mass.astype(jnp.bfloat16)
-    sig_pres = (sig_bf != 0).astype(jnp.bfloat16)
+    if from_T:
+        # column space = perm POSITIONS (no per-block gene reorder: the
+        # [R, G_pad] int8 column gather costs more than the matmuls it
+        # replaces).  Candidate lists come out perm-ordered instead of
+        # gene-ordered — same SET per row; every consumer is
+        # order-agnostic (flatten/join/maxima/emission; the host
+        # canonicalizes edges).
+        GP = sig_mass.shape[0]
+        cols_gene = jax.lax.slice(perm_pad, (0,), (GP,))  # [GP]
+        lens_gp = col_lens[jnp.minimum(cols_gene, G_pad - 1)]  # [GP]
+    else:
+        sig_bf = sig_mass.astype(jnp.bfloat16)
+        sig_pres = (sig_bf != 0).astype(jnp.bfloat16)
 
     def body(_, start):
         idxs = jax.lax.dynamic_slice(perm_pad, (start,), (R,))  # [R]
         grow = idxs
         row_lens = col_lens[idxs]  # [R]
 
-        # --- stage 1: signature bound matmuls (MXU)
-        mass_a = sig_bf[idxs]  # [R, B]
-        pres_a = sig_pres[idxs]
-        perc_bnd = jax.lax.dot_general(
-            mass_a, sig_pres, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [R, G_pad]
-        tr_bnd = jax.lax.dot_general(
-            pres_a, sig_bf, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if from_T:
+            # --- stage 1': read the precomputed symmetric bound bits
+            bound = (
+                jax.lax.dynamic_slice(sig_mass, (start, 0), (R, GP)) > 0
+            )  # [R, GP] perm columns
+            col_ids = cols_gene[None, :]  # gene id per perm column
+            col_ls = lens_gp[None, :]
+            CW = GP
+        else:
+            # --- stage 1: signature bound matmuls (MXU)
+            mass_a = sig_bf[idxs]  # [R, B]
+            pres_a = sig_pres[idxs]
+            perc_bnd = jax.lax.dot_general(
+                mass_a, sig_pres, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [R, G_pad]
+            tr_bnd = jax.lax.dot_general(
+                pres_a, sig_bf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            bound = (
+                jnp.float32(k2) * perc_bnd >= row_lens[:, None]
+            ) | (jnp.float32(k2) * tr_bnd >= col_lens[None, :])
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, G_pad), 1)
+            col_ls = col_lens[None, :]
+            CW = G_pad
 
-        cols = jax.lax.broadcasted_iota(jnp.int32, (R, G_pad), 1)
         cand_mask = (
-            (
-                (jnp.float32(k2) * perc_bnd >= row_lens[:, None])
-                | (jnp.float32(k2) * tr_bnd >= col_lens[None, :])
-            )
+            bound
             & (
-                (cols > grow[:, None])
+                (col_ids > grow[:, None])
                 if upper_only
-                else (cols != grow[:, None])
+                else (col_ids != grow[:, None])
             )
-            & (cols < n_true)
+            & (col_ids < n_true)
             & (grow[:, None] < n_true)
             & (row_lens[:, None] > 0)
-            & (col_lens[None, :] > 0)
+            & (col_ls > 0)
         )
         counts = jnp.sum(cand_mask, axis=1, dtype=jnp.int32)  # [R]
 
-        # --- stage 2: candidate extraction (cumsum + searchsorted)
-        cs = jnp.cumsum(cand_mask.astype(jnp.int32), axis=1)  # [R, G_pad]
-        queries = jnp.arange(1, K + 1, dtype=jnp.int32)
-
-        def per_row(cs_row):
-            return jnp.searchsorted(cs_row, queries)
-
-        cand = jax.vmap(per_row)(cs).astype(jnp.int32)  # [R, K]
+        # --- stage 2: rank-select the first K set columns per row.
+        # Two-level tile select instead of a vmapped searchsorted over
+        # the [R, CW] cumsum: the bisection's 16 rounds of row gathers
+        # measured 0.84s/pass on v5e (scripts/stage2_probe.py); this
+        # form is compare/sum vectorized except one CHUNKED tile gather
+        # ([R, K, 128] rows of 128 contiguous bools).  Positions are
+        # identical to searchsorted's (first index with cumsum >= rank).
+        NT = -(-CW // 128)
+        m3 = cand_mask
+        if NT * 128 != CW:
+            m3 = jnp.pad(cand_mask, ((0, 0), (0, NT * 128 - CW)))
+        m3 = m3.reshape(R, NT, 128)
+        tcnt = jnp.sum(m3, axis=-1, dtype=jnp.int32)  # [R, NT]
+        tcs = jnp.cumsum(tcnt, axis=-1)  # [R, NT]
+        q = jnp.arange(1, K + 1, dtype=jnp.int32)  # ranks
+        t = jnp.sum(
+            tcs[:, :, None] < q[None, None, :], axis=1, dtype=jnp.int32
+        )  # [R, K] tile holding the q-th set bit (NT when q > counts)
+        t_safe = jnp.minimum(t, NT - 1)
+        base = jnp.where(
+            t_safe > 0,
+            jnp.take_along_axis(tcs, jnp.maximum(t_safe - 1, 0), axis=1),
+            0,
+        )  # set bits before the tile
+        bits = jnp.take_along_axis(m3, t_safe[:, :, None], axis=1)
+        wcs = jnp.cumsum(bits.astype(jnp.int32), axis=-1)  # [R, K, 128]
+        rk = q[None, :] - base  # 1-based rank within the tile
+        pos_in = jnp.sum(
+            wcs < rk[:, :, None], axis=-1, dtype=jnp.int32
+        )
+        cand = t_safe * 128 + pos_in  # [R, K]
         have = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
-        # absent slots -> gene n_true (an empty padded profile row)
-        cand = jnp.where(have, jnp.minimum(cand, G_pad - 1), n_true)
+        if from_T:
+            # perm positions -> gene ids (tiny [R, K] gather)
+            cand = cols_gene[jnp.minimum(cand, CW - 1)]
+            cand = jnp.where(have, jnp.minimum(cand, G_pad - 1), n_true)
+        else:
+            # absent slots -> gene n_true (an empty padded profile row)
+            cand = jnp.where(have, jnp.minimum(cand, G_pad - 1), n_true)
 
         # --- stage 3: exact equality-join over sorted profiles (VPU)
         a_ids = all_ids[idxs, :w_row]  # [R, w_row]
@@ -369,15 +420,66 @@ def _next_pow2(n: int) -> int:
 _PROGRAM_CACHE: dict = {}
 
 
+@functools.partial(
+    jax.jit, static_argnames=("row_block", "k2", "n_pos")
+)
+def _bound_bits_blocks(
+    sig_mass, col_lens, perm_pos, starts, row_block: int, k2: int,
+    n_pos: int,
+):
+    """One-sided bound bits T[p, q] = test1(perm[p], perm[q]) as int8
+    over perm POSITIONS, one matmul per row block.
+
+    The candidate mask is symmetric: with perc_bnd(i, j) = sum_b
+    mass_i[b] * pres_j[b] (an upper bound on the exact perc counter,
+    library.cpp:475-477) and test1(i, j) = k2 * perc_bnd(i, j) >=
+    len_i, the legacy two-matmul mask equals test1(i, j) OR
+    test1(j, i) — the second matmul (tr side) recomputes the SAME
+    global bilinear form transposed.  Materializing test1 once as a
+    [n_pos, n_pos] int8 matrix halves the extraction FLOPs (the bound
+    matmuls sit at the bf16 MXU roofline); the extraction then reads
+    rows of T | T^T.  Every summand is an integer (bf16 round-up of an
+    integer is an integer) and every partial sum < 2^24, so the f32
+    accumulations are order-independent and the mask is bit-identical
+    to the two-matmul path (differentially tested).
+
+    Single-device formulation; multi-device runners keep the
+    two-matmul path (T's columns would need an all-to-all)."""
+    sig_bf = sig_mass.astype(jnp.bfloat16)
+    sig_perm = sig_bf[perm_pos]  # [n_pos, B] rows AND cols in perm order
+    pres_perm = (sig_perm != 0).astype(jnp.bfloat16)
+    lens_perm = col_lens[perm_pos]
+    R = row_block
+    B = sig_perm.shape[1]
+
+    def body(T, start):
+        mass_a = jax.lax.dynamic_slice(sig_perm, (start, 0), (R, B))
+        lens_a = jax.lax.dynamic_slice(lens_perm, (start,), (R,))
+        bnd = jax.lax.dot_general(
+            mass_a, pres_perm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, n_pos]
+        bits = (jnp.float32(k2) * bnd >= lens_a[:, None]).astype(jnp.int8)
+        return jax.lax.dynamic_update_slice(T, bits, (start, 0)), None
+
+    T0 = jnp.zeros((n_pos, n_pos), jnp.int8)
+    T, _ = jax.lax.scan(body, T0, starts)
+    # symmetrize ONCE (one whole-array transpose): the extraction then
+    # reads only contiguous row slices — a per-block int8 column slice +
+    # transpose measured ~1s/pass on v5e (scripts/stage2_probe.py)
+    return T | T.T
+
+
 def _extract_program(mesh, axis: str, row_block: int, w_row: int,
                      cand_cap: int, n_true: int, k2: int,
-                     do_join: bool, upper_only: bool):
+                     do_join: bool, upper_only: bool,
+                     from_T: bool = False):
     import functools as _ft
 
     from jax.sharding import PartitionSpec as P
 
     key = ("ex", mesh, axis, row_block, w_row, cand_cap, n_true, k2,
-           do_join, upper_only)
+           do_join, upper_only, from_T)
     fn = _PROGRAM_CACHE.get(key)
     if fn is not None:
         return fn
@@ -390,7 +492,10 @@ def _extract_program(mesh, axis: str, row_block: int, w_row: int,
         k2=k2,
         do_join=do_join,
         upper_only=upper_only,
+        from_T=from_T,
     )
+    if from_T:
+        assert mesh.size == 1, "bound-bits extraction is single-device"
     if mesh.size == 1:
         # Single-device: the same local function, plain-jitted (it already
         # carries @jax.jit with static argnames).  The shard_map wrapper is
@@ -461,7 +566,17 @@ def _flatten_join_program(mesh, axis: str, pair_cap: int, chunk: int,
         cs = jnp.cumsum(nf)
         total = cs[-1]
         p = jnp.arange(pair_cap, dtype=jnp.int32)
-        r = jnp.searchsorted(cs, p, side="right").astype(jnp.int32)
+        # row of pair slot p: boundary scatter + running max — equivalent
+        # to searchsorted(cs, p, side="right") for p < total (each nf>0
+        # row i scatters its index at its exclusive base cs[i]-nf[i];
+        # bases are distinct; the cummax fills the row's slot range),
+        # without the bisection's serial gather rounds
+        b = cs - nf
+        row_ids = jnp.arange(gf.shape[0], dtype=jnp.int32)
+        marks = jnp.zeros((pair_cap,), jnp.int32).at[
+            jnp.where(nf > 0, b, pair_cap)
+        ].max(row_ids, mode="drop")
+        r = jax.lax.associative_scan(jnp.maximum, marks)
         r_safe = jnp.minimum(r, gf.shape[0] - 1)
         base = jnp.where(r_safe > 0, cs[jnp.maximum(r_safe - 1, 0)], 0)
         s = jnp.clip(p - base, 0, K - 1)
@@ -788,20 +903,69 @@ class MeshRunner:
         sg[(t % self.n_dev) * S + t // self.n_dev] = starts
         return sg
 
+    def bound_bits(self, perm_ext, starts, row_block: int):
+        """Memoized one-sided bound-bit matrix T (see
+        _bound_bits_blocks) for this (perm, starts, row_block) layout —
+        reused across candidate-cap retries and by both the cells and
+        device-BBH paths."""
+        key = ("T", row_block, len(starts))
+        cache = getattr(self, "_T_cache", None)
+        if cache is None:
+            cache = {}
+            self._T_cache = cache
+        T = cache.get(key)
+        if T is None:
+            n_pos = len(starts) * row_block
+            T = _bound_bits_blocks(
+                self.sig,
+                self.col_lens,
+                self._replicate(np.asarray(perm_ext[:n_pos], np.int32)),
+                self._replicate(np.asarray(starts, np.int32)),
+                row_block=row_block,
+                k2=self.k2,
+                n_pos=n_pos,
+            )
+            cache[key] = T
+        return T
+
+    def use_bound_bits(self, starts_len: int, row_block: int) -> bool:
+        """T-mode gate: single device, T fits the HBM model's slack."""
+        n_pos = starts_len * row_block
+        return (
+            self.n_dev == 1
+            and jax.process_count() == 1
+            and n_pos * n_pos <= int(4e9)  # int8 T bytes
+        )
+
     def extract(
         self, perm_ext, starts, row_block, w_row, cand_cap,
-        do_join=True, upper_only=False,
+        do_join=True, upper_only=False, from_T=False,
     ):
         """Run one extraction pass with starts sharded over the mesh.
         Returns the shard_map outputs as GLOBAL (device-resident) arrays
         with leading block axis [S * n_dev]; inert padded blocks emit
-        rows with grow == G (filtered by every consumer)."""
+        rows with grow == G (filtered by every consumer).
+
+        ``from_T`` (single-device): bounds come from the memoized
+        bound-bit matrix instead of per-block matmuls — half the MXU
+        work, and candidate-cap retries skip the matmuls entirely."""
         sg = self._pad_starts(np.asarray(starts, np.int32),
                               len(perm_ext) - row_block)
         fn = _extract_program(
             self.mesh, self.axis, row_block, w_row, cand_cap,
-            self.G, self.k2, do_join, upper_only,
+            self.G, self.k2, do_join, upper_only, from_T,
         )
+        if from_T:
+            T = self.bound_bits(perm_ext, starts, row_block)
+            return fn(
+                self.all_ids,
+                self.all_counts,
+                T,
+                self.col_lens,
+                self.width,
+                self._replicate(np.asarray(perm_ext, np.int32)),
+                self._shard0(sg),
+            )
         return fn(
             self.all_ids,
             self.all_counts,
@@ -875,7 +1039,7 @@ class MeshRunner:
 
         _PAIR_BLOCK = pallas_join._PAIR_BLOCK
         full_chunk = (
-            lane_join._CHUNK if self.join_kernel == "lane"
+            lane_join._CHUNK if self.join_kernel in ("lane", "lane2")
             else pallas_join._CHUNK
         )
         nf = np.where(counts_h > cand_cap, 0, counts_h)
@@ -911,13 +1075,16 @@ def work_model(
     (VERDICT r2 next #8: 'is it actually fast for a TPU' needs a FLOP
     number, not lookups/s alone).
 
-    - ``bound_matmul_flops``: the two signature-bound matmuls per row
-      block, [R, B] x [B, G_pad] bf16 -> f32 on the MXU
-      (2 matmuls x 2 flops/MAC).
+    - ``bound_matmul_flops``: the signature-bound matmuls, [R, B] x
+      [B, G_pad] bf16 -> f32 on the MXU.  In bound-bits (T) mode —
+      single device, T fits — the mask's symmetry means ONE matmul per
+      row block (see _bound_bits_blocks); the legacy path pays two.
     - ``join_ops_per_pair``: VPU compare-and-accumulate lanes per candidate
       pair in the compare-and-rotate join — W^2 id compares plus the min /
       two masked adds per element (~4 vector ops each).  Multiply by the
-      runtime pair count for the total.
+      runtime pair count for the total.  (The lane2 kernel's actual count
+      is ~Da*Db*128 per pair — far lower; this field keeps the rotate
+      kernel's accounting for cross-round comparability.)
     """
     from pandelos_tpu.ops.pallas_hist import pick_buckets
 
@@ -935,8 +1102,15 @@ def work_model(
     )
     n_blocks = -(-G // row_block)
     rows = n_blocks * row_block
+    n_dev = max(1, _resolve_n_devices(config))
+    t_mode = n_dev == 1 and rows * rows <= int(4e9)
     return {
-        "bound_matmul_flops": float(4.0 * rows * B * G_pad),
+        # T-mode: ONE [R, B] x [B, rows] matmul per block; legacy: two
+        # [R, B] x [B, G_pad]
+        "bound_matmul_flops": float(
+            2.0 * rows * B * rows if t_mode else 4.0 * rows * B * G_pad
+        ),
+        "bound_bits_mode": bool(t_mode),
         "join_ops_per_pair": float(4.0 * W * W),
         "signature_buckets": int(B),
         "padded_width": int(W),
@@ -974,8 +1148,16 @@ def memory_model(
     profiles = 3 * 4 * G_pad * W  # packed upload + unpacked ids/counts
     lane = 2 * 4 * G_pad * D_est * 128
     R = min(config.row_block, _round_up(G, 8))
+    rows = -(-G // R) * R
+    # symmetric bound-bit matrix (single-device T mode; capped by
+    # use_bound_bits at 4GB — past that the extraction falls back to
+    # the two-matmul pass and T costs nothing)
+    t_bytes = rows * rows if (n_dev == 1 and rows * rows <= 4e9) else 0
     workspace = 4 * 4 * R * G_pad + 6 * 4 * (1 << 21)  # masks + flat pairs
-    replicated_total = sig + profiles + lane + workspace
+    # T is capped (4GB) and the sig cap is 6GB, so sig+T+rest <= 12GB by
+    # construction — T never drives the engine out of budget, it just
+    # reports; past its cap the extraction falls back, it can't OOM.
+    replicated_total = sig + profiles + lane + workspace + t_bytes
     ring_total = 2 * sig // n_dev + profiles + lane + workspace
     return {
         **wm,
@@ -984,6 +1166,7 @@ def memory_model(
         "sig_bytes": int(sig),
         "profile_bytes": int(profiles),
         "lane_table_bytes": int(lane),
+        "bound_bits_bytes": int(t_bytes),
         "workspace_bytes": int(workspace),
         "replicated_bytes_per_device": int(replicated_total),
         "ring_bytes_per_device": int(ring_total),
@@ -1092,6 +1275,7 @@ def compute_cells_candidate(
         grow_d, cand_d, counts_d = runner.extract(
             perm_ext, starts, row_block, padded.width, K,
             do_join=False, upper_only=True,
+            from_T=runner.use_bound_bits(len(starts), row_block),
         )
         counts_h = runner.fetch(counts_d).reshape(-1)
         grow_h = runner.grow_layout(perm_ext, starts, row_block).reshape(-1)

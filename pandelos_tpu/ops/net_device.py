@@ -426,11 +426,12 @@ def compute_network_device(
     starts = np.arange(0, n_blocks * row_block, row_block, np.int32)
 
     K = config.candidate_cap
+    use_T = use_pallas and runner.use_bound_bits(len(starts), row_block)
     while True:
         if use_pallas:
             grow_d, cand_d, counts_d = runner.extract(
                 perm_ext, starts, row_block, padded.width, K,
-                do_join=False, upper_only=False,
+                do_join=False, upper_only=False, from_T=use_T,
             )
         else:
             (grow_d, cand_d, inter_d, perc_d, tr_d, valid_d,

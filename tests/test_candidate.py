@@ -206,3 +206,46 @@ def test_candidate_full_pipeline_equivalence(tmp_path):
     rep = diff_nets(read_net(p1 + ".net"), read_net(p2 + ".net"), tolerance=0.0)
     assert rep["identical"], rep
     assert read_clus(p1 + ".clus") == read_clus(p2 + ".clus")
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_bound_bits_extraction_bit_identical(seed):
+    """T-mode extraction (one matmul + T | T^T reads) must produce the
+    same grow/counts and the same candidate SET per row as the legacy
+    two-matmul pass (T-mode lists are perm-ordered, not gene-ordered) —
+    the mask symmetry argument of _bound_bits_blocks, verified."""
+    import jax
+
+    from pandelos_tpu.ops.candidate import get_runner
+    from pandelos_tpu.ops.score import pad_profiles
+
+    rng = np.random.default_rng(seed)
+    ds = _random_ds(rng, n_genomes=3, n_fams=10)
+    idx = build_index(ds, k=3)
+    cfg = PipelineConfig(backend="pallas", row_block=8, col_block=128)
+    padded = pad_profiles(idx, 8, 128)
+    runner = get_runner(idx, padded, None, cfg)
+    sig, _, _ = build_signatures(idx, padded, cfg)
+    runner.set_sig(sig)
+    G = idx.n_sequences
+    widths = np.diff(idx.profile_ptr)
+    perm = np.argsort(widths, kind="stable").astype(np.int32)
+    n_blocks = -(-G // 8)
+    perm_pad = np.full(n_blocks * 8, G, dtype=np.int32)
+    perm_pad[:G] = perm
+    perm_ext = np.concatenate([perm_pad, np.full(8, G, np.int32)])
+    starts = np.arange(0, n_blocks * 8, 8, np.int32)
+    assert runner.use_bound_bits(len(starts), 8)
+    for upper_only in (False, True):
+        legacy = [np.asarray(x) for x in runner.extract(
+            perm_ext, starts, 8, padded.width, 32,
+            do_join=False, upper_only=upper_only, from_T=False)]
+        tmode = [np.asarray(x) for x in runner.extract(
+            perm_ext, starts, 8, padded.width, 32,
+            do_join=False, upper_only=upper_only, from_T=True)]
+        np.testing.assert_array_equal(legacy[0], tmode[0])  # grow
+        np.testing.assert_array_equal(legacy[2], tmode[2])  # counts
+        # candidate SETS per row (order differs by design)
+        np.testing.assert_array_equal(
+            np.sort(legacy[1], axis=-1), np.sort(tmode[1], axis=-1)
+        )

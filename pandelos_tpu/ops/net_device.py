@@ -509,10 +509,51 @@ def compute_network_device(
         edge_cap = _next_pow2(int(n_edges_h.max()))
     _mark(f"bbh(edge_cap={edge_cap})")
 
-    (e_row, e_col, e_inter, e_perc, e_tr, e_acc, ims_h,
-     n_valid_h) = runner.fetch_many(
-        e_row, e_col, e_inter, e_perc, e_tr, e_acc, ims, n_valid
+    # --- ship the accepted cells.  The tunnel runs ~30-45MB/s down, so
+    # the edge arrays are bit-packed on device when they fit (21B -> 16B
+    # per slot: (row+1)<<16|col, inter<<1|acc, int32 perc/tr) and, on a
+    # single device, sliced to the known edge count before fetching.
+    pack_ok = (
+        G < 65535
+        and int(np.asarray(index.kseq_lengths).max(initial=0)) < 2**24
     )
+    if pack_ok:
+        key = ("packe", runner.mesh)
+        pfn = _PROGRAMS.get(key)
+        if pfn is None:
+            def _pack(r, c, i, p, t, a):
+                rc = jnp.where(r >= 0, ((r + 1) << 16) | c, 0)
+                ia = (i.astype(jnp.int32) << 1) | a.astype(jnp.int32)
+                return rc, ia, p.astype(jnp.int32), t.astype(jnp.int32)
+
+            pfn = jax.jit(_pack)
+            _PROGRAMS[key] = pfn
+        rc_d, ia_d, p_d, t_d = pfn(
+            e_row, e_col, e_inter, e_perc, e_tr, e_acc
+        )
+        if runner.n_dev == 1 and jax.process_count() == 1:
+            n_fetch = min(
+                edge_cap, _round_up(int(n_edges_h.max(initial=0)) + 1, 4096)
+            )
+            rc_d, ia_d, p_d, t_d = (
+                x[:n_fetch] for x in (rc_d, ia_d, p_d, t_d)
+            )
+        rc_h, ia_h, p_h, t_h, ims_h, n_valid_h = runner.fetch_many(
+            rc_d, ia_d, p_d, t_d, ims, n_valid
+        )
+        rc_u = rc_h.view(np.uint32)
+        keep_mask = rc_u != 0
+        e_row = np.where(keep_mask, (rc_u >> 16).astype(np.int64) - 1, -1)
+        e_col = (rc_u & 0xFFFF).astype(np.int64)
+        e_inter = (ia_h >> 1).astype(np.int64)
+        e_acc = (ia_h & 1).astype(bool)
+        e_perc = p_h.astype(np.float32)
+        e_tr = t_h.astype(np.float32)
+    else:
+        (e_row, e_col, e_inter, e_perc, e_tr, e_acc, ims_h,
+         n_valid_h) = runner.fetch_many(
+            e_row, e_col, e_inter, e_perc, e_tr, e_acc, ims, n_valid
+        )
     keep = e_row >= 0
     e_row = e_row[keep].astype(np.int64)
     e_col = e_col[keep].astype(np.int64)

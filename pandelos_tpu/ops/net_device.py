@@ -573,12 +573,19 @@ def compute_network_device(
     e_acc = e_acc[keep]
     _mark(f"fetch(edges={int(keep.sum())})")
 
-    # host-exact f32 scores + canonical dedup (PangeneNet.java:167-174)
+    # host-exact f32 scores + canonical dedup (PangeneNet.java:167-174).
+    # Single shard: the device emitted each cell exactly once (canonical
+    # col > row), so keys are already unique — an argsort replaces the
+    # np.unique (the sort-and-scan dominated the post-fetch host tail).
     scores = e_inter.astype(np.float32) / e_union.astype(np.float32)
     a = np.minimum(e_row, e_col)
     b = np.maximum(e_row, e_col)
     key = (a << np.int64(32)) | b
-    uk, first = np.unique(key, return_index=True)
+    if runner.n_dev == 1 and jax.process_count() == 1:
+        first = np.argsort(key, kind="stable")
+        uk = key[first]
+    else:
+        uk, first = np.unique(key, return_index=True)
     from pandelos_tpu.io.net import EdgeList
 
     edges = EdgeList(
@@ -586,6 +593,7 @@ def compute_network_device(
         uk & np.int64(0xFFFFFFFF),
         scores[first].astype(np.float64),
     )
+    _mark("host(edges)")
 
     # genome-pair statistics from the shipped accepted cells — the same
     # aggregates the host path produces (net.py build_network, mirroring
@@ -603,13 +611,18 @@ def compute_network_device(
     m_scores = np.concatenate([scores, scores[acc_m]])
     gi = np.asarray(index.seq_genome)[m_row]
     gj = np.asarray(index.seq_genome)[m_col]
-    inter_keys = np.unique(key[e_acc])
-    intra_keys = np.unique(key[~e_acc])
+    if runner.n_dev == 1 and jax.process_count() == 1:
+        # keys already unique (single canonical emission)
+        n_inter_edges = int(e_acc.sum())
+        n_intra_edges = int((~e_acc).sum())
+    else:
+        n_inter_edges = int(np.unique(key[e_acc]).size)
+        n_intra_edges = int(np.unique(key[~e_acc]).size)
     stats = {
         "n_cells": int(n_valid_h.sum()),
         "n_accepted_inter_cells": int(m_acc.sum()),
-        "n_inter_edges": int(inter_keys.size),
-        "n_intra_edges": int(intra_keys.size),
+        "n_inter_edges": n_inter_edges,
+        "n_intra_edges": n_intra_edges,
         "n_edges": len(edges),
         # ordered candidate pairs actually joined (work-model input for
         # the bench's VPU join-op accounting)
@@ -630,12 +643,29 @@ def compute_network_device(
         gp_min = np.full((n_gen, n_gen), 1.0, np.float32)
         gp_minp = np.full((n_gen, n_gen), 1.0, np.float32)
         gp_maxp = np.full((n_gen, n_gen), 1.0, np.float32)
-        np.add.at(gp_sum, (ai, aj), asc.astype(np.float64))
-        np.add.at(gp_cnt, (ai, aj), 1)
-        pos = asc > 0.0
-        np.minimum.at(gp_min, (ai[pos], aj[pos]), asc[pos])
-        np.minimum.at(gp_minp, (ai, aj), np.minimum(ap, atp))
-        np.maximum.at(gp_maxp, (ai, aj), np.maximum(ap, atp))
+        # one argsort + reduceat per-bin aggregation: the five ufunc.at
+        # scatters cost ~0.1s each at Mycoplasma scale
+        bins = ai * n_gen + aj
+        order = np.argsort(bins, kind="stable")
+        sb = bins[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(sb)) + 1]
+        ubins = sb[starts]
+        gp_sum.ravel()[ubins] = np.add.reduceat(
+            asc.astype(np.float64)[order], starts
+        )
+        gp_cnt.ravel()[ubins] = np.diff(np.r_[starts, sb.size])
+        # min over positive scores only: neutral-fill non-positive with
+        # 1.0 (the init value; scores are <= 1.0)
+        asc_min = np.where(asc > 0.0, asc, np.float32(1.0))
+        gp_min.ravel()[ubins] = np.minimum.reduceat(asc_min[order], starts)
+        gp_minp.ravel()[ubins] = np.minimum.reduceat(
+            np.minimum(ap, atp)[order], starts
+        )
+        # the 1.0 init dominates the max (perc fractions are <= 1.0) —
+        # the reference quirk the host path reproduces; keep it
+        gp_maxp.ravel()[ubins] = np.maximum(
+            np.maximum.reduceat(np.maximum(ap, atp)[order], starts), 1.0
+        )
         with np.errstate(invalid="ignore"):
             gp_mean = np.where(gp_cnt > 0, gp_sum / np.maximum(gp_cnt, 1), 0.0)
         stats["genome_pairs"] = {
@@ -646,4 +676,5 @@ def compute_network_device(
             "max_perc": gp_maxp.astype(float).tolist(),
             "accepted_cells": gp_cnt.tolist(),
         }
+    _mark("host(stats)")
     return edges, stats

@@ -151,7 +151,11 @@ def _watchdog_main() -> int:
             os.path.isdir(cdir) and any(os.scandir(cdir))
         )
         warm_env = dict(env, BENCH_WARM="1")
-        warm_deadline = float(os.environ.get("BENCH_WARM_TIMEOUT_S", "900"))
+        # an all-cold compile of the round-4 program set measured ~830s
+        # on an erratic tunnel; 900s left no slack (one observed miss)
+        warm_deadline = float(
+            os.environ.get("BENCH_WARM_TIMEOUT_S", "1200")
+        )
         rc = line = None
         for attempt in range(2):
             if remaining() < 120:

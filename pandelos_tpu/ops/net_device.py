@@ -18,8 +18,10 @@ Float semantics: scores are compared on device with
 :func:`pandelos_tpu.ops.exact_div.exact_div_f32` — bit-identical to the
 host's IEEE f32 quotients — so the reference's float-equality comparisons
 (score == per-(row, genome) maxima) behave exactly as on host.  The final
-``.net`` scores and the genome-pair statistics are still computed on host
-from the shipped integer accumulators (bit-exact).
+``.net`` scores are still computed on host from the shipped integer
+accumulators (bit-exact); the genome-pair min/max statistics aggregate on
+device (exact_div perc/tr quotients, so they equal the host divisions
+bit-for-bit), with only mean/count left to a host bincount (float64).
 
 Layout: rows live in width-sorted, shard-interleaved PERM order (as
 produced by the mesh extraction); ``inv_perm`` maps gene id -> global
@@ -52,9 +54,12 @@ def _row_chunk(P: int) -> int:
     return rc
 
 
-def _chunked_genome_max(score, gsel, n_gen: int, rc: int):
-    """[P, K] scores + [P, K] genome ids -> [P, n_gen] per-row maxima."""
+def _chunked_genome_red(score, gsel, n_gen: int, rc: int, op="max"):
+    """[P, K] values + [P, K] genome ids -> [P, n_gen] per-row reduction
+    (``op``: "max" with neutral 0, or "min" with neutral +inf)."""
     P, K = score.shape
+    neutral = jnp.float32(0.0) if op == "max" else jnp.float32(jnp.inf)
+    red = jnp.max if op == "max" else jnp.min
 
     def body(ci, M):
         s = jax.lax.dynamic_slice(score, (ci * rc, 0), (rc, K))
@@ -62,16 +67,24 @@ def _chunked_genome_max(score, gsel, n_gen: int, rc: int):
         onehot = (
             g[:, :, None] == jnp.arange(n_gen, dtype=jnp.int32)[None, None, :]
         )
-        part = jnp.max(jnp.where(onehot, s[:, :, None], 0.0), axis=1)
+        part = red(jnp.where(onehot, s[:, :, None], neutral), axis=1)
         return jax.lax.dynamic_update_slice(M, part, (ci * rc, 0))
 
-    M0 = jnp.zeros((P, n_gen), dtype=score.dtype)
+    M0 = jnp.full((P, n_gen), neutral, dtype=score.dtype)
     return jax.lax.fori_loop(0, P // rc, body, M0)
 
 
-def _genome_segment_max(M_rows, g_rows, n_gen: int, rc: int):
-    """[P, n_gen] per-row maxima + [P] row genomes -> [n_gen, n_gen]."""
+def _chunked_genome_max(score, gsel, n_gen: int, rc: int):
+    """[P, K] scores + [P, K] genome ids -> [P, n_gen] per-row maxima."""
+    return _chunked_genome_red(score, gsel, n_gen, rc, op="max")
+
+
+def _genome_segment_red(M_rows, g_rows, n_gen: int, rc: int, op="max"):
+    """[P, n_gen] per-row values + [P] row genomes -> [n_gen, n_gen]."""
     P = M_rows.shape[0]
+    neutral = jnp.float32(0.0) if op == "max" else jnp.float32(jnp.inf)
+    red = jnp.max if op == "max" else jnp.min
+    comb = jnp.maximum if op == "max" else jnp.minimum
 
     def body(ci, acc):
         m = jax.lax.dynamic_slice(
@@ -81,13 +94,43 @@ def _genome_segment_max(M_rows, g_rows, n_gen: int, rc: int):
         onehot = (
             g[:, None] == jnp.arange(n_gen, dtype=jnp.int32)[None, :]
         )  # [C, n_gen]
-        part = jnp.max(
-            jnp.where(onehot[:, :, None], m[:, None, :], 0.0), axis=0
+        part = red(
+            jnp.where(onehot[:, :, None], m[:, None, :], neutral), axis=0
         )  # [n_gen(src), n_gen(dst)]
-        return jnp.maximum(acc, part)
+        return comb(acc, part)
 
-    acc0 = jnp.zeros((n_gen, n_gen), dtype=M_rows.dtype)
+    acc0 = jnp.full((n_gen, n_gen), neutral, dtype=M_rows.dtype)
     return jax.lax.fori_loop(0, P // rc, body, acc0)
+
+
+def _genome_segment_max(M_rows, g_rows, n_gen: int, rc: int):
+    """[P, n_gen] per-row maxima + [P] row genomes -> [n_gen, n_gen]."""
+    return _genome_segment_red(M_rows, g_rows, n_gen, rc, op="max")
+
+
+def _genome_pair_aggregates(
+    acc_cell, score, ap, atp, g_i, g_j, n_gen: int, rc: int
+):
+    """Per-genome-pair stats aggregates over CANONICAL accepted cells,
+    computed on device with the same two-stage chunked reduction as ims
+    (the host ufunc passes they replace measured ~0.7s at Mycoplasma
+    scale).  Returns (gmin_score, gmin_p, gmax_p) [n_gen, n_gen] in the
+    canonical (genome of smaller id, genome of larger id) orientation;
+    empty entries carry the stage neutrals (+inf / +inf / 0) — the host
+    mirrors (m op m.T) and applies the reference's 1.0 inits."""
+    inf = jnp.float32(jnp.inf)
+    minp = jnp.minimum(ap, atp)
+    maxp = jnp.maximum(ap, atp)
+    min_in = jnp.where(acc_cell, score, inf)
+    minp_in = jnp.where(acc_cell, minp, inf)
+    maxp_in = jnp.where(acc_cell, maxp, 0.0)
+    r1 = _chunked_genome_red(min_in, g_j, n_gen, rc, op="min")
+    gmin_score = _genome_segment_red(r1, g_i, n_gen, rc, op="min")
+    r2 = _chunked_genome_red(minp_in, g_j, n_gen, rc, op="min")
+    gmin_p = _genome_segment_red(r2, g_i, n_gen, rc, op="min")
+    r3 = _chunked_genome_red(maxp_in, g_j, n_gen, rc, op="max")
+    gmax_p = _genome_segment_red(r3, g_i, n_gen, rc, op="max")
+    return gmin_score, gmin_p, gmax_p
 
 
 def _bbh_local(
@@ -179,16 +222,47 @@ def _bbh_local(
     e_row = jnp.where(found, grow_f[safe // K], -1)
     e_col = cand_f.reshape(-1)[safe]
     e_inter = inter_rk.reshape(-1)[safe]
-    # union is NOT shipped: the host derives it exactly from the integer
-    # kseq lengths (union = |A| + |B| - inter, all < 2^31)
-    e_perc = perc_rk.reshape(-1)[safe]
-    e_tr = tr_rk.reshape(-1)[safe]
+    # union/perc/tr are NOT shipped: the host derives union exactly from
+    # the integer kseq lengths, and the perc/tr statistics aggregate on
+    # device below
     e_acc = accept.reshape(-1)[safe] & found
     n_edges = jnp.sum(emask, dtype=jnp.int32)[None]
     n_valid = jnp.sum(score > 0, dtype=jnp.int32)[None]
+
+    acc_cell = accept & (cand_f > grow_f[:, None])
+    n_inter = jnp.sum(acc_cell, dtype=jnp.int32)[None]
+    n_intra = jnp.sum(intra, dtype=jnp.int32)[None]
+    if n_gen <= 128:
+        ap = jnp.where(
+            perc_rk > 0,
+            exact_div_f32(
+                jnp.maximum(perc_rk, 1.0).astype(jnp.int32),
+                jnp.maximum(lenA[:, None], 1.0).astype(jnp.int32),
+            ),
+            0.0,
+        )
+        atp = jnp.where(
+            tr_rk > 0,
+            exact_div_f32(
+                jnp.maximum(tr_rk, 1.0).astype(jnp.int32),
+                jnp.maximum(lenB, 1.0).astype(jnp.int32),
+            ),
+            0.0,
+        )
+        gmin_s, gmin_p, gmax_p = _genome_pair_aggregates(
+            acc_cell, score, ap, atp, g_i, g_j, n_gen, rc
+        )
+        if axis is not None:
+            gmin_s = jax.lax.pmin(gmin_s, axis)
+            gmin_p = jax.lax.pmin(gmin_p, axis)
+            gmax_p = jax.lax.pmax(gmax_p, axis)
+    else:
+        z = jnp.zeros((n_gen, n_gen), jnp.float32)
+        gmin_s = gmin_p = gmax_p = z
     return (
-        e_row, e_col, e_inter, e_perc, e_tr, e_acc,
-        n_edges, n_valid, ims,
+        e_row, e_col, e_inter, e_acc,
+        n_edges, n_valid, n_inter, n_intra,
+        ims, gmin_s, gmin_p, gmax_p,
     )
 
 
@@ -269,14 +343,50 @@ def _bbh_flat_local(
         base[safe // K] + (safe % K), score_f.shape[0] - 1
     )
     e_inter = fi[fpos]
-    e_perc = fp[fpos]
-    e_tr = ft[fpos]
     e_acc = accept.reshape(-1)[safe] & found
     n_edges = jnp.sum(emask, dtype=jnp.int32)[None]
     n_valid = jnp.sum(score_f > 0, dtype=jnp.int32)[None]
+
+    # canonical counts + per-genome-pair min/max aggregates on device
+    # (each canonical cell lives in exactly one shard: its lower-id
+    # row's candidate list, on the shard owning that row)
+    acc_cell = accept & (cf > gf[:, None])
+    n_inter = jnp.sum(acc_cell, dtype=jnp.int32)[None]
+    n_intra = jnp.sum(intra, dtype=jnp.int32)[None]
+    if n_gen <= 128:
+        # perc/tr fractions as EXACT IEEE quotients (host parity)
+        apf = jnp.where(
+            fp > 0,
+            exact_div_f32(
+                jnp.maximum(fp, 1.0).astype(jnp.int32),
+                jnp.maximum(lenA, 1.0).astype(jnp.int32),
+            ),
+            0.0,
+        )
+        atpf = jnp.where(
+            ft > 0,
+            exact_div_f32(
+                jnp.maximum(ft, 1.0).astype(jnp.int32),
+                jnp.maximum(lenB, 1.0).astype(jnp.int32),
+            ),
+            0.0,
+        )
+        ap = jnp.where(slot_ok, apf[idx], 0.0)
+        atp = jnp.where(slot_ok, atpf[idx], 0.0)
+        gmin_s, gmin_p, gmax_p = _genome_pair_aggregates(
+            acc_cell, score, ap, atp, g_i, g_j, n_gen, rc
+        )
+        if axis is not None:
+            gmin_s = jax.lax.pmin(gmin_s, axis)
+            gmin_p = jax.lax.pmin(gmin_p, axis)
+            gmax_p = jax.lax.pmax(gmax_p, axis)
+    else:
+        z = jnp.zeros((n_gen, n_gen), jnp.float32)
+        gmin_s = gmin_p = gmax_p = z
     return (
-        e_row, e_col, e_inter, e_perc, e_tr, e_acc,
-        n_edges, n_valid, ims,
+        e_row, e_col, e_inter, e_acc,
+        n_edges, n_valid, n_inter, n_intra,
+        ims, gmin_s, gmin_p, gmax_p,
     )
 
 
@@ -341,9 +451,10 @@ def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool):
                 P(axis, None, None),
             ) + rep3
         out_specs = (
-            (P(axis),) * 6
-            + (P(axis), P(axis))
-            + (P(None, None),)  # ims: pmax-merged, device-invariant
+            (P(axis),) * 4          # e_row, e_col, e_inter, e_acc
+            + (P(axis),) * 4        # n_edges, n_valid, n_inter, n_intra
+            # ims + 3 stats aggregates: pmin/pmax-merged, device-invariant
+            + (P(None, None),) * 4
         )
         fn = jax.jit(
             jax.shard_map(
@@ -501,8 +612,9 @@ def compute_network_device(
                 grow_d, cand_d, inter_d, perc_d, tr_d, valid_d,
                 inv_perm_r, lens_r, genome_r,
             )
-        (e_row, e_col, e_inter, e_perc, e_tr, e_acc,
-         n_edges, n_valid, ims) = outs
+        (e_row, e_col, e_inter, e_acc,
+         n_edges, n_valid, n_inter_d, n_intra_d,
+         ims, gmin_s, gmin_p, gmax_p) = outs
         n_edges_h = runner.fetch(n_edges)
         if int(n_edges_h.max(initial=0)) <= edge_cap:
             break
@@ -510,9 +622,10 @@ def compute_network_device(
     _mark(f"bbh(edge_cap={edge_cap})")
 
     # --- ship the accepted cells.  The tunnel runs ~30-45MB/s down, so
-    # the edge arrays are bit-packed on device when they fit (21B -> 16B
-    # per slot: (row+1)<<16|col, inter<<1|acc, int32 perc/tr) and, on a
-    # single device, sliced to the known edge count before fetching.
+    # the edge arrays are bit-packed on device when they fit (13B -> 8B
+    # per slot: (row+1)<<16|col, inter<<1|acc — perc/tr never cross, the
+    # genome-pair min/max stats aggregated on device) and, on a single
+    # device, sliced to the known edge count before fetching.
     pack_ok = (
         G < 65535
         and int(np.asarray(index.kseq_lengths).max(initial=0)) < 2**24
@@ -521,25 +634,23 @@ def compute_network_device(
         key = ("packe", runner.mesh)
         pfn = _PROGRAMS.get(key)
         if pfn is None:
-            def _pack(r, c, i, p, t, a):
+            def _pack(r, c, i, a):
                 rc = jnp.where(r >= 0, ((r + 1) << 16) | c, 0)
                 ia = (i.astype(jnp.int32) << 1) | a.astype(jnp.int32)
-                return rc, ia, p.astype(jnp.int32), t.astype(jnp.int32)
+                return rc, ia
 
             pfn = jax.jit(_pack)
             _PROGRAMS[key] = pfn
-        rc_d, ia_d, p_d, t_d = pfn(
-            e_row, e_col, e_inter, e_perc, e_tr, e_acc
-        )
+        rc_d, ia_d = pfn(e_row, e_col, e_inter, e_acc)
         if runner.n_dev == 1 and jax.process_count() == 1:
             n_fetch = min(
                 edge_cap, _round_up(int(n_edges_h.max(initial=0)) + 1, 4096)
             )
-            rc_d, ia_d, p_d, t_d = (
-                x[:n_fetch] for x in (rc_d, ia_d, p_d, t_d)
-            )
-        rc_h, ia_h, p_h, t_h, ims_h, n_valid_h = runner.fetch_many(
-            rc_d, ia_d, p_d, t_d, ims, n_valid
+            rc_d, ia_d = (x[:n_fetch] for x in (rc_d, ia_d))
+        (rc_h, ia_h, ims_h, gmin_s_h, gmin_p_h, gmax_p_h, n_valid_h,
+         n_inter_h, n_intra_h) = runner.fetch_many(
+            rc_d, ia_d, ims, gmin_s, gmin_p, gmax_p, n_valid,
+            n_inter_d, n_intra_d,
         )
         rc_u = rc_h.view(np.uint32)
         keep_mask = rc_u != 0
@@ -547,12 +658,11 @@ def compute_network_device(
         e_col = (rc_u & 0xFFFF).astype(np.int64)
         e_inter = (ia_h >> 1).astype(np.int64)
         e_acc = (ia_h & 1).astype(bool)
-        e_perc = p_h.astype(np.float32)
-        e_tr = t_h.astype(np.float32)
     else:
-        (e_row, e_col, e_inter, e_perc, e_tr, e_acc, ims_h,
-         n_valid_h) = runner.fetch_many(
-            e_row, e_col, e_inter, e_perc, e_tr, e_acc, ims, n_valid
+        (e_row, e_col, e_inter, e_acc, ims_h, gmin_s_h, gmin_p_h,
+         gmax_p_h, n_valid_h, n_inter_h, n_intra_h) = runner.fetch_many(
+            e_row, e_col, e_inter, e_acc, ims, gmin_s, gmin_p, gmax_p,
+            n_valid, n_inter_d, n_intra_d,
         )
     keep = e_row >= 0
     e_row = e_row[keep].astype(np.int64)
@@ -568,8 +678,6 @@ def compute_network_device(
     assert int(e_row.max(initial=-1)) < G and int(e_col.max(initial=-1)) < G
     lens_i64 = np.asarray(index.kseq_lengths, np.int64)
     e_union = lens_i64[e_row] + lens_i64[e_col] - e_inter
-    e_perc = e_perc[keep].astype(np.float32)
-    e_tr = e_tr[keep].astype(np.float32)
     e_acc = e_acc[keep]
     _mark(f"fetch(edges={int(keep.sum())})")
 
@@ -595,22 +703,14 @@ def compute_network_device(
     )
     _mark("host(edges)")
 
-    # genome-pair statistics from the shipped accepted cells — the same
-    # aggregates the host path produces (net.py build_network, mirroring
-    # Pangenes.java:130-143's prints).  The device now ships each cell
-    # once (canonical col > row); accepted inter-genome cells — which
-    # the reference sees from BOTH rows' passes — are mirrored back on
-    # host (row/col and perc/tr exchange) before aggregating, restoring
-    # the pre-canonical-emission statistics exactly.
-    acc_m = np.flatnonzero(e_acc)
-    m_row = np.concatenate([e_row, e_col[acc_m]])
-    m_col = np.concatenate([e_col, e_row[acc_m]])
-    m_perc = np.concatenate([e_perc, e_tr[acc_m]])
-    m_tr = np.concatenate([e_tr, e_perc[acc_m]])
-    m_acc = np.concatenate([e_acc, e_acc[acc_m]])
-    m_scores = np.concatenate([scores, scores[acc_m]])
-    gi = np.asarray(index.seq_genome)[m_row]
-    gj = np.asarray(index.seq_genome)[m_col]
+    # genome-pair statistics — the same aggregates the host path
+    # produces (net.py build_network, mirroring Pangenes.java:130-143's
+    # prints).  The device aggregated the min/max families over the
+    # canonical accepted cells (with exact IEEE perc/tr quotients);
+    # accepted cells count from BOTH orientations in the reference, so
+    # the canonical matrices mirror here as (m op m.T).  Only mean/count
+    # remain host-side (float64 accumulation), via np.bincount over the
+    # shipped cells.
     if runner.n_dev == 1 and jax.process_count() == 1:
         # keys already unique (single canonical emission)
         n_inter_edges = int(e_acc.sum())
@@ -618,9 +718,12 @@ def compute_network_device(
     else:
         n_inter_edges = int(np.unique(key[e_acc]).size)
         n_intra_edges = int(np.unique(key[~e_acc]).size)
+    n_acc_canonical = int(n_inter_h.sum())
     stats = {
         "n_cells": int(n_valid_h.sum()),
-        "n_accepted_inter_cells": int(m_acc.sum()),
+        # the reference sees each accepted inter-genome cell from both
+        # rows' passes
+        "n_accepted_inter_cells": 2 * n_acc_canonical,
         "n_inter_edges": n_inter_edges,
         "n_intra_edges": n_intra_edges,
         "n_edges": len(edges),
@@ -632,39 +735,29 @@ def compute_network_device(
         "device_bbh": True,
         "n_devices": runner.n_dev,
     }
-    if n_gen <= 128 and m_acc.any():
-        lens64 = np.asarray(index.kseq_lengths, np.float32)
-        ai, aj = gi[m_acc], gj[m_acc]
-        asc = m_scores[m_acc]
-        ap = m_perc[m_acc] / lens64[m_row[m_acc]]
-        atp = m_tr[m_acc] / lens64[m_col[m_acc]]
-        gp_sum = np.zeros((n_gen, n_gen), np.float64)
-        gp_cnt = np.zeros((n_gen, n_gen), np.int64)
-        gp_min = np.full((n_gen, n_gen), 1.0, np.float32)
-        gp_minp = np.full((n_gen, n_gen), 1.0, np.float32)
-        gp_maxp = np.full((n_gen, n_gen), 1.0, np.float32)
-        # one argsort + reduceat per-bin aggregation: the five ufunc.at
-        # scatters cost ~0.1s each at Mycoplasma scale
-        bins = ai * n_gen + aj
-        order = np.argsort(bins, kind="stable")
-        sb = bins[order]
-        starts = np.r_[0, np.flatnonzero(np.diff(sb)) + 1]
-        ubins = sb[starts]
-        gp_sum.ravel()[ubins] = np.add.reduceat(
-            asc.astype(np.float64)[order], starts
+    if n_gen <= 128 and n_acc_canonical > 0:
+        acc_i = e_row[e_acc]
+        acc_j = e_col[e_acc]
+        asc = scores[e_acc].astype(np.float64)
+        sg = np.asarray(index.seq_genome)
+        bins = sg[acc_i] * n_gen + sg[acc_j]
+        S = np.bincount(bins, weights=asc, minlength=n_gen * n_gen)
+        C = np.bincount(bins, minlength=n_gen * n_gen)
+        gp_sum = S.reshape(n_gen, n_gen)
+        gp_sum = gp_sum + gp_sum.T
+        gp_cnt = C.reshape(n_gen, n_gen).astype(np.int64)
+        gp_cnt = gp_cnt + gp_cnt.T
+        # device matrices carry stage neutrals (+inf / 0) at empty
+        # entries; the reference inits everything at 1.0, and max_perc's
+        # init dominates (perc fractions <= 1.0 — the host-path quirk)
+        gp_min = np.minimum(
+            np.minimum(gmin_s_h, gmin_s_h.T), np.float32(1.0)
         )
-        gp_cnt.ravel()[ubins] = np.diff(np.r_[starts, sb.size])
-        # min over positive scores only: neutral-fill non-positive with
-        # 1.0 (the init value; scores are <= 1.0)
-        asc_min = np.where(asc > 0.0, asc, np.float32(1.0))
-        gp_min.ravel()[ubins] = np.minimum.reduceat(asc_min[order], starts)
-        gp_minp.ravel()[ubins] = np.minimum.reduceat(
-            np.minimum(ap, atp)[order], starts
+        gp_minp = np.minimum(
+            np.minimum(gmin_p_h, gmin_p_h.T), np.float32(1.0)
         )
-        # the 1.0 init dominates the max (perc fractions are <= 1.0) —
-        # the reference quirk the host path reproduces; keep it
-        gp_maxp.ravel()[ubins] = np.maximum(
-            np.maximum.reduceat(np.maximum(ap, atp)[order], starts), 1.0
+        gp_maxp = np.maximum(
+            np.maximum(gmax_p_h, gmax_p_h.T), np.float32(1.0)
         )
         with np.errstate(invalid="ignore"):
             gp_mean = np.where(gp_cnt > 0, gp_sum / np.maximum(gp_cnt, 1), 0.0)

@@ -1035,6 +1035,8 @@ class MeshRunner:
         candidate counts [S * n_dev * R]: the max per-shard total, rounded
         to a power of two (bounded program variants), with the join chunk
         capped at the Pallas expansion budget."""
+        import os
+
         from pandelos_tpu.ops import lane_join, pallas_join
 
         _PAIR_BLOCK = pallas_join._PAIR_BLOCK
@@ -1042,6 +1044,9 @@ class MeshRunner:
             lane_join._CHUNK if self.join_kernel in ("lane", "lane2")
             else pallas_join._CHUNK
         )
+        env_chunk = os.environ.get("PT_JOIN_CHUNK")
+        if env_chunk:  # bench sweep override
+            full_chunk = int(env_chunk)
         nf = np.where(counts_h > cand_cap, 0, counts_h)
         per_shard = nf.reshape(self.n_dev, -1).sum(axis=1, dtype=np.int64)
         worst = int(per_shard.max(initial=0))

@@ -54,83 +54,124 @@ def _row_chunk(P: int) -> int:
     return rc
 
 
-def _chunked_genome_red(score, gsel, n_gen: int, rc: int, op="max"):
-    """[P, K] values + [P, K] genome ids -> [P, n_gen] per-row reduction
-    (``op``: "max" with neutral 0, or "min" with neutral +inf)."""
-    P, K = score.shape
-    neutral = jnp.float32(0.0) if op == "max" else jnp.float32(jnp.inf)
-    red = jnp.max if op == "max" else jnp.min
+def _chunked_genome_multi(vals_ops, gsel, n_gen: int, rc: int):
+    """Fused per-row genome reductions: [(values [P, K], op), ...] ->
+    tuple of [P, n_gen], ONE pass sharing the [rc, K, n_gen] one-hot
+    (op: "max" with neutral 0, "min" with neutral +inf)."""
+    P, K = vals_ops[0][0].shape
+    specs = [
+        (
+            v,
+            jnp.max if op == "max" else jnp.min,
+            jnp.float32(0.0) if op == "max" else jnp.float32(jnp.inf),
+        )
+        for v, op in vals_ops
+    ]
 
-    def body(ci, M):
-        s = jax.lax.dynamic_slice(score, (ci * rc, 0), (rc, K))
+    def body(ci, Ms):
         g = jax.lax.dynamic_slice(gsel, (ci * rc, 0), (rc, K))
         onehot = (
             g[:, :, None] == jnp.arange(n_gen, dtype=jnp.int32)[None, None, :]
         )
-        part = red(jnp.where(onehot, s[:, :, None], neutral), axis=1)
-        return jax.lax.dynamic_update_slice(M, part, (ci * rc, 0))
+        out = []
+        for (v, red, neutral), M in zip(specs, Ms):
+            s = jax.lax.dynamic_slice(v, (ci * rc, 0), (rc, K))
+            part = red(jnp.where(onehot, s[:, :, None], neutral), axis=1)
+            out.append(
+                jax.lax.dynamic_update_slice(M, part, (ci * rc, 0))
+            )
+        return tuple(out)
 
-    M0 = jnp.full((P, n_gen), neutral, dtype=score.dtype)
+    M0 = tuple(
+        jnp.full((P, n_gen), neutral, dtype=v.dtype)
+        for v, _, neutral in specs
+    )
     return jax.lax.fori_loop(0, P // rc, body, M0)
 
 
 def _chunked_genome_max(score, gsel, n_gen: int, rc: int):
     """[P, K] scores + [P, K] genome ids -> [P, n_gen] per-row maxima."""
-    return _chunked_genome_red(score, gsel, n_gen, rc, op="max")
+    return _chunked_genome_multi([(score, "max")], gsel, n_gen, rc)[0]
 
 
-def _genome_segment_red(M_rows, g_rows, n_gen: int, rc: int, op="max"):
-    """[P, n_gen] per-row values + [P] row genomes -> [n_gen, n_gen]."""
-    P = M_rows.shape[0]
-    neutral = jnp.float32(0.0) if op == "max" else jnp.float32(jnp.inf)
-    red = jnp.max if op == "max" else jnp.min
-    comb = jnp.maximum if op == "max" else jnp.minimum
-
-    def body(ci, acc):
-        m = jax.lax.dynamic_slice(
-            M_rows, (ci * rc, 0), (rc, M_rows.shape[1])
+def _genome_segment_multi(rows_ops, g_rows, n_gen: int, rc: int):
+    """Fused [P, n_gen] -> [n_gen, n_gen] segment reductions keyed by
+    the row genome, sharing the one-hot."""
+    P = rows_ops[0][0].shape[0]
+    specs = [
+        (
+            m,
+            jnp.max if op == "max" else jnp.min,
+            jnp.maximum if op == "max" else jnp.minimum,
+            jnp.float32(0.0) if op == "max" else jnp.float32(jnp.inf),
         )
+        for m, op in rows_ops
+    ]
+
+    def body(ci, accs):
         g = jax.lax.dynamic_slice(g_rows, (ci * rc,), (rc,))
         onehot = (
             g[:, None] == jnp.arange(n_gen, dtype=jnp.int32)[None, :]
         )  # [C, n_gen]
-        part = red(
-            jnp.where(onehot[:, :, None], m[:, None, :], neutral), axis=0
-        )  # [n_gen(src), n_gen(dst)]
-        return comb(acc, part)
+        out = []
+        for (m_all, red, comb, neutral), acc in zip(specs, accs):
+            m = jax.lax.dynamic_slice(
+                m_all, (ci * rc, 0), (rc, m_all.shape[1])
+            )
+            part = red(
+                jnp.where(onehot[:, :, None], m[:, None, :], neutral),
+                axis=0,
+            )  # [n_gen(src), n_gen(dst)]
+            out.append(comb(acc, part))
+        return tuple(out)
 
-    acc0 = jnp.full((n_gen, n_gen), neutral, dtype=M_rows.dtype)
+    acc0 = tuple(
+        jnp.full((n_gen, n_gen), neutral, dtype=m.dtype)
+        for m, _, _, neutral in specs
+    )
     return jax.lax.fori_loop(0, P // rc, body, acc0)
 
 
 def _genome_segment_max(M_rows, g_rows, n_gen: int, rc: int):
     """[P, n_gen] per-row maxima + [P] row genomes -> [n_gen, n_gen]."""
-    return _genome_segment_red(M_rows, g_rows, n_gen, rc, op="max")
+    return _genome_segment_multi([(M_rows, "max")], g_rows, n_gen, rc)[0]
 
 
-def _genome_pair_aggregates(
-    acc_cell, score, ap, atp, g_i, g_j, n_gen: int, rc: int
+def _ims_and_aggregates(
+    lt1_score, acc_cell, score, ap, atp, g_i, g_j, n_gen: int, rc: int,
+    with_stats: bool,
 ):
-    """Per-genome-pair stats aggregates over CANONICAL accepted cells,
-    computed on device with the same two-stage chunked reduction as ims
-    (the host ufunc passes they replace measured ~0.7s at Mycoplasma
-    scale).  Returns (gmin_score, gmin_p, gmax_p) [n_gen, n_gen] in the
-    canonical (genome of smaller id, genome of larger id) orientation;
-    empty entries carry the stage neutrals (+inf / +inf / 0) — the host
-    mirrors (m op m.T) and applies the reference's 1.0 inits."""
+    """inter_max_score + (optionally) the per-genome-pair stats
+    aggregates over CANONICAL accepted cells, in ONE fused two-stage
+    chunked reduction (the separate host ufunc passes measured ~0.7s at
+    Mycoplasma scale; the separate device passes rebuilt the one-hot
+    four times).  Stats matrices are in the canonical (genome of
+    smaller id, genome of larger id) orientation; empty entries carry
+    the stage neutrals (+inf / +inf / 0) — the host mirrors (m op m.T)
+    and applies the reference's 1.0 inits."""
+    if not with_stats:
+        M2 = _chunked_genome_max(lt1_score, g_j, n_gen, rc)
+        ims = _genome_segment_max(M2, g_i, n_gen, rc)
+        z = jnp.zeros((n_gen, n_gen), jnp.float32)
+        return ims, z, z, z
     inf = jnp.float32(jnp.inf)
-    minp = jnp.minimum(ap, atp)
-    maxp = jnp.maximum(ap, atp)
     min_in = jnp.where(acc_cell, score, inf)
-    minp_in = jnp.where(acc_cell, minp, inf)
-    maxp_in = jnp.where(acc_cell, maxp, 0.0)
-    r1 = _chunked_genome_red(min_in, g_j, n_gen, rc, op="min")
-    gmin_score = _genome_segment_red(r1, g_i, n_gen, rc, op="min")
-    r2 = _chunked_genome_red(minp_in, g_j, n_gen, rc, op="min")
-    gmin_p = _genome_segment_red(r2, g_i, n_gen, rc, op="min")
-    r3 = _chunked_genome_red(maxp_in, g_j, n_gen, rc, op="max")
-    gmax_p = _genome_segment_red(r3, g_i, n_gen, rc, op="max")
-    return gmin_score, gmin_p, gmax_p
+    minp_in = jnp.where(acc_cell, jnp.minimum(ap, atp), inf)
+    maxp_in = jnp.where(acc_cell, jnp.maximum(ap, atp), 0.0)
+    r = _chunked_genome_multi(
+        [
+            (lt1_score, "max"),
+            (min_in, "min"),
+            (minp_in, "min"),
+            (maxp_in, "max"),
+        ],
+        g_j, n_gen, rc,
+    )
+    ims, gmin_s, gmin_p, gmax_p = _genome_segment_multi(
+        [(r[0], "max"), (r[1], "min"), (r[2], "min"), (r[3], "max")],
+        g_i, n_gen, rc,
+    )
+    return ims, gmin_s, gmin_p, gmax_p
 
 
 def _bbh_local(
@@ -185,13 +226,39 @@ def _bbh_local(
         & (score == M_j_gi)
     )
 
-    # per-genome-pair max accepted score < 1.0 (Pangenes.java:116-118),
-    # merged across shards with pmax
-    lt1 = accept & (score < 1.0)
-    M2 = _chunked_genome_max(jnp.where(lt1, score, 0.0), g_j, n_gen, rc)
-    ims = _genome_segment_max(M2, g_i, n_gen, rc)  # [n_gen, n_gen]
+    # per-genome-pair max accepted score < 1.0 (Pangenes.java:116-118)
+    # fused with the stats aggregates, merged across shards with
+    # pmax/pmin
+    lt1v = jnp.where(accept & (score < 1.0), score, 0.0)
+    acc_cell = accept & (cand_f > grow_f[:, None])
+    with_stats = n_gen <= 128
+    if with_stats:
+        ap = jnp.where(
+            perc_rk > 0,
+            exact_div_f32(
+                jnp.maximum(perc_rk, 1.0).astype(jnp.int32),
+                jnp.maximum(lenA[:, None], 1.0).astype(jnp.int32),
+            ),
+            0.0,
+        )
+        atp = jnp.where(
+            tr_rk > 0,
+            exact_div_f32(
+                jnp.maximum(tr_rk, 1.0).astype(jnp.int32),
+                jnp.maximum(lenB, 1.0).astype(jnp.int32),
+            ),
+            0.0,
+        )
+    else:
+        ap = atp = score
+    ims, gmin_s, gmin_p, gmax_p = _ims_and_aggregates(
+        lt1v, acc_cell, score, ap, atp, g_i, g_j, n_gen, rc, with_stats
+    )
     if axis is not None:
         ims = jax.lax.pmax(ims, axis)
+        gmin_s = jax.lax.pmin(gmin_s, axis)
+        gmin_p = jax.lax.pmin(gmin_p, axis)
+        gmax_p = jax.lax.pmax(gmax_p, axis)
 
     # row threshold (Pangenes.java:146-155) — rows are shard-local
     thr_cell = ims[g_i[:, None], g_j]  # [P, K]
@@ -228,37 +295,8 @@ def _bbh_local(
     e_acc = accept.reshape(-1)[safe] & found
     n_edges = jnp.sum(emask, dtype=jnp.int32)[None]
     n_valid = jnp.sum(score > 0, dtype=jnp.int32)[None]
-
-    acc_cell = accept & (cand_f > grow_f[:, None])
     n_inter = jnp.sum(acc_cell, dtype=jnp.int32)[None]
     n_intra = jnp.sum(intra, dtype=jnp.int32)[None]
-    if n_gen <= 128:
-        ap = jnp.where(
-            perc_rk > 0,
-            exact_div_f32(
-                jnp.maximum(perc_rk, 1.0).astype(jnp.int32),
-                jnp.maximum(lenA[:, None], 1.0).astype(jnp.int32),
-            ),
-            0.0,
-        )
-        atp = jnp.where(
-            tr_rk > 0,
-            exact_div_f32(
-                jnp.maximum(tr_rk, 1.0).astype(jnp.int32),
-                jnp.maximum(lenB, 1.0).astype(jnp.int32),
-            ),
-            0.0,
-        )
-        gmin_s, gmin_p, gmax_p = _genome_pair_aggregates(
-            acc_cell, score, ap, atp, g_i, g_j, n_gen, rc
-        )
-        if axis is not None:
-            gmin_s = jax.lax.pmin(gmin_s, axis)
-            gmin_p = jax.lax.pmin(gmin_p, axis)
-            gmax_p = jax.lax.pmax(gmax_p, axis)
-    else:
-        z = jnp.zeros((n_gen, n_gen), jnp.float32)
-        gmin_s = gmin_p = gmax_p = z
     return (
         e_row, e_col, e_inter, e_acc,
         n_edges, n_valid, n_inter, n_intra,
@@ -316,11 +354,39 @@ def _bbh_flat_local(
     accept = (
         (score > 0) & inter_genome & (score == M_at_gj) & (score == M_j_gi)
     )
-    lt1 = accept & (score < 1.0)
-    M2 = _chunked_genome_max(jnp.where(lt1, score, 0.0), g_j, n_gen, rc)
-    ims = _genome_segment_max(M2, g_i, n_gen, rc)
+    lt1v = jnp.where(accept & (score < 1.0), score, 0.0)
+    acc_cell = accept & (cf > gf[:, None])
+    with_stats = n_gen <= 128
+    if with_stats:
+        # perc/tr fractions as EXACT IEEE quotients (host parity)
+        apf = jnp.where(
+            fp > 0,
+            exact_div_f32(
+                jnp.maximum(fp, 1.0).astype(jnp.int32),
+                jnp.maximum(lenA, 1.0).astype(jnp.int32),
+            ),
+            0.0,
+        )
+        atpf = jnp.where(
+            ft > 0,
+            exact_div_f32(
+                jnp.maximum(ft, 1.0).astype(jnp.int32),
+                jnp.maximum(lenB, 1.0).astype(jnp.int32),
+            ),
+            0.0,
+        )
+        ap = jnp.where(slot_ok, apf[idx], 0.0)
+        atp = jnp.where(slot_ok, atpf[idx], 0.0)
+    else:
+        ap = atp = score
+    ims, gmin_s, gmin_p, gmax_p = _ims_and_aggregates(
+        lt1v, acc_cell, score, ap, atp, g_i, g_j, n_gen, rc, with_stats
+    )
     if axis is not None:
         ims = jax.lax.pmax(ims, axis)
+        gmin_s = jax.lax.pmin(gmin_s, axis)
+        gmin_p = jax.lax.pmin(gmin_p, axis)
+        gmax_p = jax.lax.pmax(gmax_p, axis)
     thr_cell = ims[g_i[:, None], g_j]
     row_thr = jnp.min(jnp.where(accept, thr_cell, jnp.inf), axis=1)
     intra = (
@@ -346,43 +412,10 @@ def _bbh_flat_local(
     e_acc = accept.reshape(-1)[safe] & found
     n_edges = jnp.sum(emask, dtype=jnp.int32)[None]
     n_valid = jnp.sum(score_f > 0, dtype=jnp.int32)[None]
-
-    # canonical counts + per-genome-pair min/max aggregates on device
-    # (each canonical cell lives in exactly one shard: its lower-id
-    # row's candidate list, on the shard owning that row)
-    acc_cell = accept & (cf > gf[:, None])
+    # canonical counts (each canonical cell lives in exactly one shard:
+    # its lower-id row's candidate list, on the shard owning that row)
     n_inter = jnp.sum(acc_cell, dtype=jnp.int32)[None]
     n_intra = jnp.sum(intra, dtype=jnp.int32)[None]
-    if n_gen <= 128:
-        # perc/tr fractions as EXACT IEEE quotients (host parity)
-        apf = jnp.where(
-            fp > 0,
-            exact_div_f32(
-                jnp.maximum(fp, 1.0).astype(jnp.int32),
-                jnp.maximum(lenA, 1.0).astype(jnp.int32),
-            ),
-            0.0,
-        )
-        atpf = jnp.where(
-            ft > 0,
-            exact_div_f32(
-                jnp.maximum(ft, 1.0).astype(jnp.int32),
-                jnp.maximum(lenB, 1.0).astype(jnp.int32),
-            ),
-            0.0,
-        )
-        ap = jnp.where(slot_ok, apf[idx], 0.0)
-        atp = jnp.where(slot_ok, atpf[idx], 0.0)
-        gmin_s, gmin_p, gmax_p = _genome_pair_aggregates(
-            acc_cell, score, ap, atp, g_i, g_j, n_gen, rc
-        )
-        if axis is not None:
-            gmin_s = jax.lax.pmin(gmin_s, axis)
-            gmin_p = jax.lax.pmin(gmin_p, axis)
-            gmax_p = jax.lax.pmax(gmax_p, axis)
-    else:
-        z = jnp.zeros((n_gen, n_gen), jnp.float32)
-        gmin_s = gmin_p = gmax_p = z
     return (
         e_row, e_col, e_inter, e_acc,
         n_edges, n_valid, n_inter, n_intra,

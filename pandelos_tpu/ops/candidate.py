@@ -414,6 +414,18 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+# int8 bound-bit matrix byte cap; past this, extraction falls back to the
+# two-matmul bound pass (memory_model documents the consequence)
+_T_BYTES_CAP = int(4e9)
+
+
+def t_mode_enabled(n_dev: int, n_proc: int, n_pos: int) -> bool:
+    """Single shared bound-bits (T-mode) predicate for use_bound_bits,
+    work_model and memory_model: single device, single process, and the
+    symmetric int8 T matrix fits the byte cap."""
+    return n_dev == 1 and n_proc == 1 and n_pos * n_pos <= _T_BYTES_CAP
+
+
 # Module-level program cache: the jitted shard_map programs are shared by
 # every MeshRunner with an equal mesh + statics (per-instance closures
 # would defeat jax's jit cache and re-pay each compile per dataset).
@@ -590,7 +602,10 @@ def _flatten_join_program(mesh, axis: str, pair_cap: int, chunk: int,
             # front and cost zero loop iterations
             da = dg[pi]
             db = dg[pj]
-            order = jnp.argsort(da * 1024 + db, stable=True).astype(
+            # (da, db) lexicographic key; multiplier lane_D + 1 (static)
+            # keeps ordering exact for any depth <= lane_D (depths are
+            # bounded by the lane table build), int32-safe to D ~ 46000
+            order = jnp.argsort(da * (lane_D + 1) + db, stable=True).astype(
                 jnp.int32
             )
             pi_s = pi[order]
@@ -908,7 +923,14 @@ class MeshRunner:
         _bound_bits_blocks) for this (perm, starts, row_block) layout —
         reused across candidate-cap retries and by both the cells and
         device-BBH paths."""
-        key = ("T", row_block, len(starts))
+        n_pos_key = len(starts) * row_block
+        key = (
+            "T", row_block, len(starts),
+            # perm fingerprint: the runner is per-index and its perm is
+            # deterministic, but a caller passing a different permutation
+            # of the same shape must not reuse a stale T
+            hash(np.asarray(perm_ext[:n_pos_key], np.int32).tobytes()),
+        )
         cache = getattr(self, "_T_cache", None)
         if cache is None:
             cache = {}
@@ -930,11 +952,8 @@ class MeshRunner:
 
     def use_bound_bits(self, starts_len: int, row_block: int) -> bool:
         """T-mode gate: single device, T fits the HBM model's slack."""
-        n_pos = starts_len * row_block
-        return (
-            self.n_dev == 1
-            and jax.process_count() == 1
-            and n_pos * n_pos <= int(4e9)  # int8 T bytes
+        return t_mode_enabled(
+            self.n_dev, jax.process_count(), starts_len * row_block
         )
 
     def extract(
@@ -1047,6 +1066,14 @@ class MeshRunner:
         env_chunk = os.environ.get("PT_JOIN_CHUNK")
         if env_chunk:  # bench sweep override
             full_chunk = int(env_chunk)
+            # a chunk that is not a power of two or not a multiple of
+            # _PAIR_BLOCK would make the join's n_chunks floor-divide
+            # pair_cap, silently leaving trailing pairs un-joined
+            if full_chunk & (full_chunk - 1) or full_chunk % _PAIR_BLOCK:
+                raise ValueError(
+                    f"PT_JOIN_CHUNK={full_chunk} must be a power of two "
+                    f"and a multiple of {_PAIR_BLOCK}"
+                )
         nf = np.where(counts_h > cand_cap, 0, counts_h)
         per_shard = nf.reshape(self.n_dev, -1).sum(axis=1, dtype=np.int64)
         worst = int(per_shard.max(initial=0))
@@ -1108,7 +1135,7 @@ def work_model(
     n_blocks = -(-G // row_block)
     rows = n_blocks * row_block
     n_dev = max(1, _resolve_n_devices(config))
-    t_mode = n_dev == 1 and rows * rows <= int(4e9)
+    t_mode = t_mode_enabled(n_dev, jax.process_count(), rows)
     return {
         # T-mode: ONE [R, B] x [B, rows] matmul per block; legacy: two
         # [R, B] x [B, G_pad]
@@ -1157,7 +1184,10 @@ def memory_model(
     # symmetric bound-bit matrix (single-device T mode; capped by
     # use_bound_bits at 4GB — past that the extraction falls back to
     # the two-matmul pass and T costs nothing)
-    t_bytes = rows * rows if (n_dev == 1 and rows * rows <= 4e9) else 0
+    t_bytes = (
+        rows * rows
+        if t_mode_enabled(n_dev, jax.process_count(), rows) else 0
+    )
     workspace = 4 * 4 * R * G_pad + 6 * 4 * (1 << 21)  # masks + flat pairs
     # T is capped (4GB) and the sig cap is 6GB, so sig+T+rest <= 12GB by
     # construction — T never drives the engine out of budget, it just

@@ -110,6 +110,46 @@ def _cache_dir() -> str:
     )
 
 
+def _last_device_capture():
+    """Newest committed artifacts/tpu_r*/bench_trial*.json, wrapped with
+    provenance (commit, mtime) and an explicit staleness note — embedded
+    in CPU-fallback records so the official bench output always carries
+    the most recent REAL device measurement."""
+    import glob
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    trials = sorted(
+        glob.glob(os.path.join(here, "artifacts", "tpu_r*", "bench_trial*.json")),
+        key=os.path.getmtime,
+    )
+    if not trials:
+        return None
+    path = trials[-1]
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    commit = None
+    try:
+        commit = subprocess.run(
+            ["git", "-C", here, "log", "-n", "1", "--format=%H %cI", "--", path],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip() or None
+    except Exception:
+        pass
+    return {
+        "note": (
+            "STALE: builder-committed TPU capture from a prior session; "
+            "the accelerator was unreachable for this driver run"
+        ),
+        "path": os.path.relpath(path, here),
+        "committed": commit,
+        "capture": data,
+    }
+
+
 def _watchdog_main() -> int:
     """Orchestrate the bench as watchdog-guarded child steps so a tunnel
     stall can never eat the whole driver round (VERDICT r3 next #1):
@@ -138,10 +178,19 @@ def _watchdog_main() -> int:
     cold_e2e = None
     cold_note = None
 
-    # Observed tunnel wedge durations run 60-90+ minutes (round-4 log);
-    # a 15-minute probe window is the compromise between waiting out a
-    # recovery and not eating the driver's whole capture budget.
-    probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "900"))
+    # Observed tunnel wedge durations run 60-90+ minutes (round-4 log).
+    # Spend almost the whole driver budget probing before surrendering
+    # to the CPU fallback (VERDICT r4 next #1b): a late device capture
+    # beats an early fallback every time, so reserve only what the
+    # fallback itself needs (~25 min worst case on the downscaled
+    # preset) and probe with the rest.
+    fallback_reserve = float(
+        os.environ.get("BENCH_FALLBACK_RESERVE_S", "1600")
+    )
+    probe_budget = float(os.environ.get(
+        "BENCH_PROBE_BUDGET_S",
+        str(max(900.0, total_budget - fallback_reserve)),
+    ))
     healthy = _device_healthy(min(probe_budget, remaining()))
 
     if healthy:
@@ -250,6 +299,19 @@ def _watchdog_main() -> int:
     env.pop("BENCH_WARM", None)
     rc, line, err, timed_out = _run_child(env, fb_deadline)
     if rc == 0 and line:
+        # The official record must always carry the real device trend
+        # (VERDICT r4 next #1c): embed the newest committed TPU capture,
+        # clearly marked stale, so a tunnel outage at capture time never
+        # erases the device evidence from the round's record.
+        try:
+            result = json.loads(line)
+            capture = _last_device_capture()
+            if capture is not None:
+                result.setdefault("extra", {})
+                result["extra"]["last_device_capture"] = capture
+            line = json.dumps(result)
+        except ValueError:
+            pass
         print(line)
         return 0
     sys.stderr.write(err)

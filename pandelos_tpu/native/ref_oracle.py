@@ -55,10 +55,11 @@ def build_harness(force: bool = False) -> str:
     return binary
 
 
-def reference_cells(faa_path: str, k: int) -> dict:
-    """Run the reference kernel; returns {(x, y): (score_bits,
-    perc_bits, tr_perc_bits)} over its nonzero score cells (both
-    directions present, as the reference emits them)."""
+def reference_cells_arrays(faa_path: str, k: int):
+    """Run the reference kernel; returns numpy arrays (row, col,
+    score_bits, perc_bits, tr_perc_bits) over its nonzero score cells
+    (both directions present, as the reference emits them).  Array form
+    scales to the flagship preset (mycoplasma64: 2M cells)."""
     import tempfile
 
     binary = build_harness()
@@ -67,14 +68,43 @@ def reference_cells(faa_path: str, k: int) -> dict:
             [binary, faa_path, str(k), tmp.name],
             check=True, capture_output=True,
         )
-        out = {}
+        rows, cols, sbl, pbl, tbl = [], [], [], [], []
         with open(tmp.name) as fh:
             for line in fh:
                 x, y, sb, pb, tb = line.split()
-                out[(int(x), int(y))] = (
-                    int(sb, 16), int(pb, 16), int(tb, 16),
-                )
-    return out
+                rows.append(int(x))
+                cols.append(int(y))
+                sbl.append(int(sb, 16))
+                pbl.append(int(pb, 16))
+                tbl.append(int(tb, 16))
+        return (
+            np.array(rows, np.int32), np.array(cols, np.int32),
+            np.array(sbl, np.uint32), np.array(pbl, np.uint32),
+            np.array(tbl, np.uint32),
+        )
+
+
+def reference_cells(faa_path: str, k: int) -> dict:
+    """Dict view of :func:`reference_cells_arrays`:
+    {(x, y): (score_bits, perc_bits, tr_perc_bits)}."""
+    row, col, sb, pb, tb = reference_cells_arrays(faa_path, k)
+    return {
+        (int(x), int(y)): (int(s), int(p), int(t))
+        for x, y, s, p, t in zip(row, col, sb, pb, tb)
+    }
+
+
+def reference_finalized_cells(faa_path: str, k: int):
+    """The reference kernel's cells as a :class:`FinalizedCells` — the
+    input contract of net.build_network, so the BBH/network stage can be
+    driven directly from reference-authored scores."""
+    from pandelos_tpu.net import FinalizedCells
+
+    row, col, sb, pb, tb = reference_cells_arrays(faa_path, k)
+    return FinalizedCells(
+        row, col,
+        sb.view(np.float32), pb.view(np.float32), tb.view(np.float32),
+    )
 
 
 def our_cells_bits(index) -> dict:

@@ -588,7 +588,11 @@ def _flatten_join_program(mesh, axis: str, pair_cap: int, chunk: int,
         marks = jnp.zeros((pair_cap,), jnp.int32).at[
             jnp.where(nf > 0, b, pair_cap)
         ].max(row_ids, mode="drop")
-        r = jax.lax.associative_scan(jnp.maximum, marks)
+        # cummax, NOT associative_scan(maximum): identical output and
+        # runtime, but the generic scan's slice/concat recursion costs
+        # ~230s of XLA compile at pair_cap=2M vs ~25s for the native
+        # cumulative op (scripts/flatten_compile_probe.py, v5e)
+        r = jax.lax.cummax(marks)
         r_safe = jnp.minimum(r, gf.shape[0] - 1)
         base = jnp.where(r_safe > 0, cs[jnp.maximum(r_safe - 1, 0)], 0)
         s = jnp.clip(p - base, 0, K - 1)

@@ -228,7 +228,13 @@ def _bbh_local(
 
     # per-genome-pair max accepted score < 1.0 (Pangenes.java:116-118)
     # fused with the stats aggregates, merged across shards with
-    # pmax/pmin
+    # pmax/pmin.  Past 128 genomes only the edge-critical ims matrix is
+    # aggregated — the O(n_gen^2) min/max stats matrices are print-only
+    # diagnostics in the reference (Pangenes.java:130-143) and their
+    # one-hot cost grows quadratically; the host path degrades at the
+    # same bound (net.py) and compute_network_device omits
+    # stats["genome_pairs"] then (tested: test_net_device.py
+    # ::test_many_genomes_no_pair_stats).
     lt1v = jnp.where(accept & (score < 1.0), score, 0.0)
     acc_cell = accept & (cand_f > grow_f[:, None])
     with_stats = n_gen <= 128
@@ -356,6 +362,8 @@ def _bbh_flat_local(
     )
     lt1v = jnp.where(accept & (score < 1.0), score, 0.0)
     acc_cell = accept & (cf > gf[:, None])
+    # same >128-genome stats degradation as _bbh_local (see the comment
+    # there); edges are unaffected
     with_stats = n_gen <= 128
     if with_stats:
         # perc/tr fractions as EXACT IEEE quotients (host parity)
@@ -662,6 +670,9 @@ def compute_network_device(
     pack_ok = (
         G < 65535
         and int(np.asarray(index.kseq_lengths).max(initial=0)) < 2**24
+        # test hook: force the unpacked fetch branch at small G
+        # (test_net_device.py::test_unpacked_edge_fetch_branch)
+        and os.environ.get("PANDELOS_NO_EDGE_PACK") != "1"
     )
     if pack_ok:
         key = ("packe", runner.mesh)

@@ -113,3 +113,38 @@ def test_device_bbh_paralogs_and_identical_genes():
     got = {(x, y): np.float32(s) for x, y, s in edges}
     want = _host_edges(idx)
     assert got == want
+
+
+def test_many_genomes_no_pair_stats():
+    """Past 128 genomes the O(n_gen^2) genome-pair stats matrices are
+    omitted (documented degradation, matching the host path's
+    ``n_genomes <= 128`` gate in net.py) — edges must still byte-match
+    the host BBH."""
+    rng = np.random.default_rng(11)
+    ds = _random_ds(rng, n_genomes=130, n_fams=2)
+    idx = build_index(ds, k=3)
+    assert idx.n_genomes > 128
+    out = compute_network_device(
+        idx, PipelineConfig(row_block=16, col_block=128, candidate_cap=64)
+    )
+    assert out is not None
+    edges, stats = out
+    assert "genome_pairs" not in stats
+    got = {(a, b): np.float32(s) for a, b, s in edges}
+    assert got == _host_edges(idx)
+
+
+def test_unpacked_edge_fetch_branch(monkeypatch):
+    """The G >= 65535 / long-sequence fetch path ships unpacked edge
+    arrays (net_device.py pack_ok gate); forced via PANDELOS_NO_EDGE_PACK
+    it must produce identical edges and stats to the packed default."""
+    rng = np.random.default_rng(3)
+    ds = _random_ds(rng, n_genomes=4, n_fams=10)
+    idx = build_index(ds, k=3)
+    cfg = PipelineConfig(row_block=16, col_block=128, candidate_cap=64)
+    out_packed = compute_network_device(idx, cfg)
+    monkeypatch.setenv("PANDELOS_NO_EDGE_PACK", "1")
+    out_unpacked = compute_network_device(idx, cfg)
+    assert out_packed is not None and out_unpacked is not None
+    assert out_packed[0] == out_unpacked[0]
+    assert out_packed[1] == out_unpacked[1]

@@ -86,6 +86,11 @@ NETCLU_CASES = [
     ("mycoplasma16", os.path.join(CACHE, "mycoplasma16.faa"),
      os.path.join(CACHE, "mycoplasma16.net"),
      os.path.join(CACHE, "mycoplasma16.clus")),
+    # flagship preset (~70s): with test_reference_cpp_kernel's m64 net
+    # provenance this closes the whole flagship golden chain
+    ("mycoplasma64", os.path.join(CACHE, "mycoplasma64.faa"),
+     os.path.join(CACHE, "mycoplasma64.net"),
+     os.path.join(CACHE, "mycoplasma64.clus")),
 ]
 
 

@@ -358,14 +358,21 @@ def _warm_main() -> int:
     )
     out_prefix = os.path.join(cache_dir, f"_warm_{preset}")
     t0 = time.monotonic()
-    run_pipeline(faa_path, out_prefix, config)
+    res = run_pipeline(faa_path, out_prefix, config)
     e2e = time.monotonic() - t0
     for suffix in (".net", ".clus", ".stats.json"):
         try:
             os.remove(out_prefix + suffix)
         except OSError:
             pass
-    print(json.dumps({"warm": True, "e2e_s": round(e2e, 3)}))
+    print(json.dumps({
+        "warm": True,
+        "e2e_s": round(e2e, 3),
+        # per-phase breakdown: on an empty compile cache this is the
+        # compile-time attribution VERDICT r4 next #5 asked for
+        "phases_s": {k: round(v, 3) for k, v in res.phase_times.items()},
+        "score_phase_s": (res.stats.get("network") or {}).get("phase_s"),
+    }))
     return 0
 
 
@@ -514,6 +521,33 @@ def main() -> int:
     achieved_tflops = wm["bound_matmul_flops"] / timings["score"] / 1e12
     join_ops = wm["join_ops_per_pair"] * stats.get("n_joined_pairs", 0)
 
+    # per-phase achieved throughput (VERDICT r4 next #6): the join and
+    # BBH dominate the warm pass — lookups/s alone doesn't say whether
+    # they are fast for this chip.  Gather floor context in
+    # docs/DESIGN.md (row gathers ~25GB/s in-program on v5e).
+    phase_s = stats.get("phase_s") or {}
+    roofline = {}
+    t_join = phase_s.get("flatten_join")
+    if t_join and stats.get("pair_cap"):
+        n_pairs = stats.get("n_joined_pairs", 0)
+        gather_bytes = 2 * stats["pair_cap"] * (
+            stats.get("lane_table_cols") or 0
+        ) * 4
+        roofline["join_s"] = t_join
+        roofline["join_pairs_per_sec"] = round(n_pairs / t_join, 1)
+        roofline["join_gather_bytes_per_sec"] = round(
+            gather_bytes / t_join, 1
+        )
+    t_bbh = phase_s.get("bbh")
+    if t_bbh and stats.get("pair_cap"):
+        # 3 exact_div passes over the pair list (score, perc, tr)
+        roofline["bbh_s"] = t_bbh
+        roofline["bbh_exact_div_per_sec"] = round(
+            3 * stats["pair_cap"] / t_bbh, 1
+        )
+    if phase_s.get("extract"):
+        roofline["extract_s"] = phase_s["extract"]
+
     lookups_per_sec = total_lookups / timings["score"]
     maxrss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
@@ -540,6 +574,8 @@ def main() -> int:
             "pct_bf16_peak": round(100 * achieved_tflops / BF16_PEAK_TFLOPS, 1),
             "bound_matmul_tflop": round(wm["bound_matmul_flops"] / 1e12, 2),
             "join_vector_ops": int(join_ops),
+            "phase_s": phase_s or None,
+            "roofline": roofline or None,
             "maxrss_mb": round(maxrss_mb, 1),
             "device_note": device_note,
             "timings_s": {

@@ -1118,16 +1118,21 @@ def work_model(
     - ``join_ops_per_pair``: VPU compare-and-accumulate lanes per candidate
       pair in the compare-and-rotate join — W^2 id compares plus the min /
       two masked adds per element (~4 vector ops each).  Multiply by the
-      runtime pair count for the total.  (The lane2 kernel's actual count
-      is ~Da*Db*128 per pair — far lower; this field keeps the rotate
-      kernel's accounting for cross-round comparability.)
+      runtime pair count for the total.  (LEGACY field: kept only for
+      cross-round trend comparability with the retired rotate kernel.)
+    - ``join_lane2_ops_per_pair``: the production lane2 kernel's cost
+      model — ~mean_depth^2 octet steps per pair, each one [8, 128]
+      compare + min + 3 masked adds (~10 VPU lane-ops of 128 lanes per
+      step, amortized over the octet's 8 pairs).
     """
+    from pandelos_tpu.ops.lane_join import lane_depths
     from pandelos_tpu.ops.pallas_hist import pick_buckets
 
     config = config or PipelineConfig()
     G = index.n_sequences
     if G == 0:
         return {"bound_matmul_flops": 0, "join_ops_per_pair": 0}
+    mean_depth = float(lane_depths(index).mean())
     row_block = min(config.row_block, _round_up(G, 8))
     col_block = min(config.col_block, _round_up(G, 128))
     W = max(128, _round_up(max(1, index.max_profile_len), 128))
@@ -1148,6 +1153,7 @@ def work_model(
         ),
         "bound_bits_mode": bool(t_mode),
         "join_ops_per_pair": float(4.0 * W * W),
+        "join_lane2_ops_per_pair": 10.0 * 128.0 * mean_depth * mean_depth,
         "signature_buckets": int(B),
         "padded_width": int(W),
         "padded_genes": int(G_pad),

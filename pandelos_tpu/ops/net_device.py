@@ -536,12 +536,18 @@ def compute_network_device(
 
     _trace = os.environ.get("PT_TIMING") == "1"
     _t0 = time.monotonic()
+    _phase_s = {}
 
     def _mark(label):
         nonlocal _t0
+        dt = time.monotonic() - _t0
+        # phase times keyed without the parenthesized detail; kept in
+        # stats["phase_s"] so the bench can publish per-phase achieved
+        # throughput (join pairs/s, gather bytes/s, BBH div ops/s)
+        _phase_s[label.split("(")[0]] = round(dt, 4)
         if _trace:
-            print(f"[pt:bbh] {label}: {time.monotonic()-_t0:.2f}s", flush=True)
-            _t0 = time.monotonic()
+            print(f"[pt:bbh] {label}: {dt:.2f}s", flush=True)
+        _t0 = time.monotonic()
 
     config = config or PipelineConfig()
     G = index.n_sequences
@@ -745,7 +751,7 @@ def compute_network_device(
         uk & np.int64(0xFFFFFFFF),
         scores[first].astype(np.float64),
     )
-    _mark("host(edges)")
+    _mark("host.edges")
 
     # genome-pair statistics — the same aggregates the host path
     # produces (net.py build_network, mirroring Pangenes.java:130-143's
@@ -778,6 +784,13 @@ def compute_network_device(
         ),
         "device_bbh": True,
         "n_devices": runner.n_dev,
+        "phase_s": dict(_phase_s),
+        "pair_cap": int(pair_cap) if use_pallas else None,
+        "lane_D": int(runner.lane_D) if use_pallas else None,
+        "lane_table_cols": (
+            int(runner.all_lane2.shape[1]) if use_pallas else None
+        ),
+        "edge_cap": int(edge_cap),
     }
     if n_gen <= 128 and n_acc_canonical > 0:
         acc_i = e_row[e_acc]
@@ -813,5 +826,5 @@ def compute_network_device(
             "max_perc": gp_maxp.astype(float).tolist(),
             "accepted_cells": gp_cnt.tolist(),
         }
-    _mark("host(stats)")
+    _mark("host.stats")
     return edges, stats

@@ -147,4 +147,8 @@ def test_unpacked_edge_fetch_branch(monkeypatch):
     out_unpacked = compute_network_device(idx, cfg)
     assert out_packed is not None and out_unpacked is not None
     assert out_packed[0] == out_unpacked[0]
-    assert out_packed[1] == out_unpacked[1]
+
+    def _no_times(stats):
+        return {k: v for k, v in stats.items() if k != "phase_s"}
+
+    assert _no_times(out_packed[1]) == _no_times(out_unpacked[1])

@@ -600,30 +600,23 @@ def _flatten_join_program(mesh, axis: str, pair_cap: int, chunk: int,
         pi = jnp.where(ok, gf[r_safe], pad_gene).astype(jnp.int32)
         pj = jnp.where(ok, cf[r_safe, s], pad_gene).astype(jnp.int32)
         if kernel == "lane2":
-            # sort pairs by (depth_a, depth_b) so octets are
-            # depth-homogeneous — the kernel's per-octet loop bounds are
-            # the max over 8 pairs; padding pairs (dg == 0) sort to the
-            # front and cost zero loop iterations
+            # NO depth sort: the flat order is already depth-coherent —
+            # rows are processed in profile-width order (the global perm)
+            # and each row's candidates come out in ascending perm
+            # position, so da ascends across the list and db ascends
+            # within each row's run.  Measured on the m64 pair list
+            # (v5e): 14.0M octet-steps flat vs 11.8M fully sorted
+            # (+19% kernel ~ +5ms) against ~90ms for the two argsorts
+            # plus five [pair_cap] permutation gathers the sort needed.
+            # Padding pairs have dg == 0 and cost zero loop iterations.
             da = dg[pi]
             db = dg[pj]
-            # (da, db) lexicographic key; multiplier lane_D + 1 (static)
-            # keeps ordering exact for any depth <= lane_D (depths are
-            # bounded by the lane table build), int32-safe to D ~ 46000
-            order = jnp.argsort(da * (lane_D + 1) + db, stable=True).astype(
-                jnp.int32
-            )
-            pi_s = pi[order]
-            pj_s = pj[order]
-            da_oct = jnp.max(da[order].reshape(-1, 8), axis=1)
-            db_oct = jnp.max(db[order].reshape(-1, 8), axis=1)
-            inter_s, perc_s, tr_s = lane2_join_core(
-                all_pair, pi_s, pj_s, da_oct, db_oct,
+            da_oct = jnp.max(da.reshape(-1, 8), axis=1)
+            db_oct = jnp.max(db.reshape(-1, 8), axis=1)
+            inter, perc, tr = lane2_join_core(
+                all_pair, pi, pj, da_oct, db_oct,
                 D=lane_D, chunk=chunk, interpret=interpret,
             )
-            inv = jnp.argsort(order).astype(jnp.int32)
-            inter = inter_s[inv]
-            perc = perc_s[inv]
-            tr = tr_s[inv]
         elif kernel == "lane":
             inter, perc, tr = lane_join_core(
                 all_pair, pi, pj, D=lane_D, chunk=chunk,

@@ -49,7 +49,11 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 _OCT = 8
 _PAIR_BLOCK = 128  # pairs per grid step
-_CHUNK = 1 << 15  # pairs per gather chunk (2 x ~256MB expanded at D=16)
+# pairs per gather chunk.  Small chunks pipeline the XLA row-gather with
+# the kernel's block stream far better than big ones: the m64 sweep
+# (scripts/lane2_micro.py, v5e) measured 507ms at 32768, 405ms at 8192,
+# 357ms at 4096 and flat below that, for identical results.
+_CHUNK = 1 << 12
 
 
 def pack_lane_profiles(index, G_pad: int):

@@ -195,3 +195,68 @@ def sort_only(pi_u, pj_u):
 
 
 timed("sort+inverse", sort_only, jnp.asarray(pi), jnp.asarray(pj))
+
+# --- 5. gather variants: full-width forced, narrow slice, big chunk
+@jax.jit
+def gathers_full_sum(table, pi_s, pj_s):
+    def body(ci, acc):
+        aiv = jax.lax.dynamic_slice(pi_s, (ci * chunk,), (chunk,))
+        biv = jax.lax.dynamic_slice(pj_s, (ci * chunk,), (chunk,))
+        a_exp = jnp.take(table, aiv, axis=0)
+        b_exp = jnp.take(table, biv, axis=0)
+        return acc + jnp.sum(a_exp, dtype=jnp.int32) + jnp.sum(
+            b_exp, dtype=jnp.int32)
+
+    return jax.lax.fori_loop(0, pair_cap // chunk, body, jnp.int32(0))
+
+
+timed("gathers full-sum", gathers_full_sum, table, pi_s, pj_s)
+
+D0 = 8
+table_n = table[:, : D0 * 128]
+
+@jax.jit
+def gathers_narrow(table_n, pi_s, pj_s):
+    def body(ci, acc):
+        aiv = jax.lax.dynamic_slice(pi_s, (ci * chunk,), (chunk,))
+        biv = jax.lax.dynamic_slice(pj_s, (ci * chunk,), (chunk,))
+        a_exp = jnp.take(table_n, aiv, axis=0)
+        b_exp = jnp.take(table_n, biv, axis=0)
+        return acc + jnp.sum(a_exp, dtype=jnp.int32) + jnp.sum(
+            b_exp, dtype=jnp.int32)
+
+    return jax.lax.fori_loop(0, pair_cap // chunk, body, jnp.int32(0))
+
+
+timed(f"gathers narrow D0={D0}", gathers_narrow, table_n, pi_s, pj_s)
+
+BIGC = 131072
+
+@jax.jit
+def full_core_bigchunk(table, pi_s, pj_s, da_oct, db_oct):
+    return lane2_join_core(table, pi_s, pj_s, da_oct, db_oct,
+                           D=D, chunk=BIGC)
+
+
+timed("full core chunk=128k", full_core_bigchunk,
+      table, pi_s, pj_s, da_oct, db_oct)
+
+SMALLC = 8192
+
+@jax.jit
+def full_core_smallchunk(table, pi_s, pj_s, da_oct, db_oct):
+    return lane2_join_core(table, pi_s, pj_s, da_oct, db_oct,
+                           D=D, chunk=SMALLC)
+
+
+timed("full core chunk=8k", full_core_smallchunk,
+      table, pi_s, pj_s, da_oct, db_oct)
+
+for C in (16384, 4096, 2048):
+    @jax.jit
+    def full_core_c(table, pi_s, pj_s, da_oct, db_oct, C=C):
+        return lane2_join_core(table, pi_s, pj_s, da_oct, db_oct,
+                               D=D, chunk=C)
+
+    timed(f"full core chunk={C}", full_core_c,
+          table, pi_s, pj_s, da_oct, db_oct)

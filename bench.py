@@ -458,6 +458,26 @@ def main() -> int:
                 score_time = min(score_time, time.monotonic() - t0)
             timings["score"] = score_time
             net_edges, stats = out
+            # one traced pass for truthful per-phase times: without
+            # PT_TIMING there are no device sync points between phases,
+            # so async dispatch attributes everything to the next
+            # fetching phase and the roofline numbers are meaningless.
+            # Timed runs above stay untraced (syncs cost ~15ms).
+            import contextlib
+
+            prev = os.environ.get("PT_TIMING")
+            os.environ["PT_TIMING"] = "1"
+            try:
+                with contextlib.redirect_stdout(sys.stderr):
+                    traced = compute_network_device(index, config)
+            finally:
+                if prev is None:
+                    os.environ.pop("PT_TIMING", None)
+                else:
+                    os.environ["PT_TIMING"] = prev
+            if traced is not None:
+                stats = dict(stats)
+                stats["phase_s"] = traced[1].get("phase_s")
 
     if net_edges is None:
         from pandelos_tpu.net import build_network, finalize_scores

@@ -1196,7 +1196,11 @@ def memory_model(
     # construction — T never drives the engine out of budget, it just
     # reports; past its cap the extraction falls back, it can't OOM.
     replicated_total = sig + profiles + lane + workspace + t_bytes
-    ring_total = 2 * sig // n_dev + profiles + lane + workspace
+    # ring mode: per-device candidate accumulator carries a step axis —
+    # [n_dev, S, R, K] per shard = all global rows once (the device-BBH
+    # composition consumes it directly, ops/net_device.py ring path)
+    ring_cand = 4 * rows * config.candidate_cap
+    ring_total = 2 * sig // n_dev + profiles + lane + workspace + ring_cand
     return {
         **wm,
         "n_devices": n_dev,
@@ -1206,6 +1210,7 @@ def memory_model(
         "lane_table_bytes": int(lane),
         "bound_bits_bytes": int(t_bytes),
         "workspace_bytes": int(workspace),
+        "ring_candidate_bytes": int(ring_cand),
         "replicated_bytes_per_device": int(replicated_total),
         "ring_bytes_per_device": int(ring_total),
         "fits_replicated": replicated_total <= hbm_budget_bytes,
@@ -1225,12 +1230,19 @@ def check_hbm_fit(index: KmerIndex, config) -> None:
     if jax.default_backend() == "cpu":
         return  # host RAM, not HBM
     mm = memory_model(index, config)
-    if mm["fits_replicated"]:
+    if getattr(config, "ring_extract", False) and mm["n_devices"] > 1:
+        # ring mode (now composing with the device BBH too): the
+        # signature wall shards + rotates, so judge against ring_bytes
+        if mm["fits_ring"]:
+            return
+    elif mm["fits_replicated"]:
         return
     hint = (
         "set config.ring_extract=True on a multi-device mesh "
-        "(signatures shard + rotate; see ops/ring.py)"
+        "(signatures shard + rotate; composes with device_bbh; see "
+        "ops/ring.py)"
         if mm["fits_ring"] and mm["n_devices"] > 1
+        and not getattr(config, "ring_extract", False)
         else "this dataset exceeds even the ring mode's per-device "
         "footprint (profiles replicate); shard the input by genome "
         "subsets (cli reinput) or add devices"

@@ -313,13 +313,23 @@ def _bbh_local(
 def _bbh_flat_local(
     grow_l, cand_l, counts_l, pi, pj, fi, fp, ft, fv,
     inv_perm, lens, genome_of, axis, n_gen: int, edge_cap: int,
+    steps: int = 1,
 ):
     """Flat-pair BBH: exact scores are computed ONCE per flatten_join
     pair (exact_div over [pair_cap], not per [rows, K] slot — the limb
     arithmetic is the expensive op), re-expanded to the [rows, K] maxima
     structure by a single gather; the emitted cells' integer counters
     are fetched from the flat arrays at their flat positions, so
-    perc/tr/inter are never re-expanded at all."""
+    perc/tr/inter are never re-expanded at all.
+
+    ``steps > 1`` is the RING composition (VERDICT r4 next #4): the
+    extraction outputs carry a leading ring-step axis — each real row
+    appears once per step, holding the candidates of that step's column
+    shard.  Rows stay shard-local across steps, so the only additional
+    structure is a max-merge of the per-(step, row) maxima over the
+    step axis before the cross-shard ``all_gather``, and the same
+    step-merge for the per-row threshold.  Every other computation
+    treats (step, row) as an ordinary virtual row."""
     K = cand_l.shape[-1]
     gf = grow_l.reshape(-1)
     cf = cand_l.reshape(-1, K)
@@ -327,7 +337,8 @@ def _bbh_flat_local(
     nf = jnp.where(nf > K, 0, nf)
     cs = jnp.cumsum(nf)
     base = cs - nf  # exclusive cumsum: same layout flatten_join used
-    P = gf.shape[0]
+    P = gf.shape[0]  # virtual rows (= steps * real rows)
+    SR = P // steps  # real rows on this shard
     rc = _row_chunk(P)
 
     lenA = lens[jnp.minimum(pi, lens.shape[0] - 1)]
@@ -348,13 +359,24 @@ def _bbh_flat_local(
 
     g_i = genome_of[jnp.minimum(gf, genome_of.shape[0] - 1)]
     g_j = genome_of[cf]
-    M_local = _chunked_genome_max(score, g_j, n_gen, rc)
-    if axis is None:
-        M = M_local
+    M_virt = _chunked_genome_max(score, g_j, n_gen, rc)  # [P, n_gen]
+    if steps == 1:
+        M_row = M_virt
     else:
-        M = jax.lax.all_gather(M_local, axis, tiled=True)
+        # a real row's maxima span ALL ring steps (column shards)
+        M_row = jnp.max(M_virt.reshape(steps, SR, n_gen), axis=0)
+    if axis is None:
+        M = M_row
+    else:
+        M = jax.lax.all_gather(M_row, axis, tiled=True)
+    if steps == 1:
+        M_grid = M_row
+    else:
+        M_grid = jnp.broadcast_to(
+            M_row[None], (steps, SR, n_gen)
+        ).reshape(P, n_gen)
     jpos = inv_perm[cf]
-    M_at_gj = jnp.take_along_axis(M_local, g_j, axis=1)
+    M_at_gj = jnp.take_along_axis(M_grid, g_j, axis=1)
     M_j_gi = M[jpos, g_i[:, None]]
     inter_genome = g_j != g_i[:, None]
     accept = (
@@ -397,6 +419,13 @@ def _bbh_flat_local(
         gmax_p = jax.lax.pmax(gmax_p, axis)
     thr_cell = ims[g_i[:, None], g_j]
     row_thr = jnp.min(jnp.where(accept, thr_cell, jnp.inf), axis=1)
+    if steps > 1:
+        # the threshold min spans the row's accepted cells in EVERY
+        # ring step; merge over the step axis and broadcast back
+        row_thr = jnp.broadcast_to(
+            jnp.min(row_thr.reshape(steps, SR), axis=0)[None],
+            (steps, SR),
+        ).reshape(P)
     intra = (
         (score > 0)
         & (~inter_genome)
@@ -431,14 +460,16 @@ def _bbh_flat_local(
     )
 
 
-def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool):
+def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool,
+                 ring_steps: int = 1):
     """shard_map BBH program.  ``flat`` consumes the flatten_join pair
     lists + counters directly (the pallas backend; see _bbh_flat_local);
     otherwise the [blocks, R, K] in-scan join outputs are used directly
-    (the xla backend)."""
+    (the xla backend).  ``ring_steps > 1`` consumes ring-extraction
+    outputs (leading step axis, rows sharded on the second axis)."""
     from jax.sharding import PartitionSpec as P
 
-    key = ("bbh", mesh, axis, n_gen, edge_cap, flat)
+    key = ("bbh", mesh, axis, n_gen, edge_cap, flat, ring_steps)
     fn = _PROGRAMS.get(key)
     if fn is not None:
         return fn
@@ -452,6 +483,7 @@ def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool):
             return _bbh_flat_local(
                 grow_l, cand_l, counts_l, pi, pj, fi, fp, ft, fv,
                 inv_perm, lens, genome_of, axis, n_gen, edge_cap,
+                steps=ring_steps,
             )
 
     else:
@@ -474,7 +506,15 @@ def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool):
         fn = jax.jit(local)
     else:
         rep3 = (P(None), P(None), P(None))
-        if flat:
+        if flat and ring_steps > 1:
+            in_specs = (
+                P(None, axis, None),        # grow [steps, S*n, R]
+                P(None, axis, None, None),  # cand
+                P(None, axis, None),        # counts
+                # pi, pj, inter, perc, tr, valid (flat pair arrays)
+                P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            ) + rep3
+        elif flat:
             in_specs = (
                 P(axis, None),        # grow
                 P(axis, None, None),  # cand
@@ -562,16 +602,50 @@ def compute_network_device(
     _mark("setup.pad_profiles")
     G_pad = padded.ids.shape[0]
 
-    # runner first: the signature histogram then reads the runner's own
-    # device-resident profiles instead of re-uploading them unpacked
-    runner = get_runner(index, padded, None, config)
-    _mark("setup.runner(upload)")
-    sig_mass, _, _ = build_signatures(
-        index, padded, config,
-        ids_d=runner.all_ids, counts_d=runner.all_counts,
+    from pandelos_tpu.ops.candidate import _resolve_n_devices
+
+    # Ring composition (VERDICT r4 next #4): with config.ring_extract on
+    # a multi-device mesh, the extraction column-shards + rotates the
+    # signatures (ops/ring.py) instead of replicating them, and the BBH
+    # consumes the step-axis outputs directly (_bbh_flat_local steps).
+    use_ring = (
+        bool(config.ring_extract)
+        and use_pallas
+        and max(1, _resolve_n_devices(config)) >= 2
     )
-    runner.set_sig(sig_mass)
-    _mark("setup.signatures")
+
+    if use_ring:
+        from pandelos_tpu.ops.pallas_hist import pick_buckets
+        from pandelos_tpu.ops.ring import _ring_extract_program
+
+        n_buckets, shift = pick_buckets(
+            index.vocab_size, max(1, index.max_profile_len), index.k,
+            n_genes=G_pad,
+        )
+        # signatures are built INSIDE the ring program per column shard;
+        # the runner's replicated signature upload is bypassed
+        sig_stub = np.zeros((1, 1), dtype=np.float32)
+        runner = get_runner(index, padded, sig_stub, config, tag="ring")
+        n_dev = runner.n_dev
+        if G_pad % n_dev:
+            raise ValueError(
+                f"G_pad={G_pad} not divisible by n_devices={n_dev}; "
+                f"choose a col_block divisible by the device count"
+            )
+        Gc = G_pad // n_dev
+        _mark("setup.runner(upload)")
+        _mark("setup.signatures")
+    else:
+        # runner first: the signature histogram then reads the runner's
+        # own device-resident profiles instead of re-uploading them
+        runner = get_runner(index, padded, None, config)
+        _mark("setup.runner(upload)")
+        sig_mass, _, _ = build_signatures(
+            index, padded, config,
+            ids_d=runner.all_ids, counts_d=runner.all_counts,
+        )
+        runner.set_sig(sig_mass)
+        _mark("setup.signatures")
 
     widths = np.diff(index.profile_ptr)
     perm = np.argsort(widths, kind="stable").astype(np.int32)
@@ -584,34 +658,102 @@ def compute_network_device(
     starts = np.arange(0, n_blocks * row_block, row_block, np.int32)
 
     K = config.candidate_cap
-    use_T = use_pallas and runner.use_bound_bits(len(starts), row_block)
-    while True:
-        if use_pallas:
-            grow_d, cand_d, counts_d = runner.extract(
-                perm_ext, starts, row_block, padded.width, K,
-                do_join=False, upper_only=False, from_T=use_T,
+    ring_steps = 1
+    if use_ring:
+        sg = runner._pad_starts(starts, len(perm_ext) - row_block)
+        S = len(sg) // n_dev
+        while True:
+            rfn = _ring_extract_program(
+                runner.mesh, runner.axis, row_block, S, K, G,
+                2 * index.k, n_buckets, shift, Gc, padded.width, n_dev,
+                upper_only=False,
             )
-        else:
-            (grow_d, cand_d, inter_d, perc_d, tr_d, valid_d,
-             counts_d) = runner.extract(
-                perm_ext, starts, row_block, padded.width, K,
-                do_join=True, upper_only=False,
+            grow_d, cand_d, counts_d = rfn(
+                runner.all_ids, runner.all_counts, runner.col_lens,
+                runner._replicate(np.asarray(perm_ext, np.int32)),
+                runner._shard0(sg),
             )
-        counts_h = runner.fetch(counts_d).reshape(-1)
-        grow_h = runner.grow_layout(perm_ext, starts, row_block).reshape(-1)
-        over = (counts_h > K) & (grow_h < G)
-        if not np.any(over):
-            break
-        K = _next_pow2(int(counts_h[over].max()))
-        if K > 1024:
-            return None  # pathological: use the host cells path
+            counts_h3 = runner.fetch(counts_d)  # [steps, S*n, R]
+            grow_rows = np.stack(
+                [perm_ext[s : s + row_block] for s in sg]
+            )  # [S*n, R] real rows
+            grow_steps = np.broadcast_to(
+                grow_rows[None], counts_h3.shape
+            )
+            over = (counts_h3 > K) & (grow_steps < G)
+            if not np.any(over):
+                break
+            K = _next_pow2(int(counts_h3[over].max()))
+            if K > 1024:
+                return None  # pathological: use the host cells path
+        counts_h = counts_h3.reshape(-1)  # step-major virtual rows
+        grow_h = grow_rows.reshape(-1)  # REAL rows (inv_perm source)
+        grow_virt_h = grow_steps.reshape(-1)
+        ring_steps = n_dev
+    else:
+        use_T = use_pallas and runner.use_bound_bits(
+            len(starts), row_block
+        )
+        while True:
+            if use_pallas:
+                grow_d, cand_d, counts_d = runner.extract(
+                    perm_ext, starts, row_block, padded.width, K,
+                    do_join=False, upper_only=False, from_T=use_T,
+                )
+            else:
+                (grow_d, cand_d, inter_d, perc_d, tr_d, valid_d,
+                 counts_d) = runner.extract(
+                    perm_ext, starts, row_block, padded.width, K,
+                    do_join=True, upper_only=False,
+                )
+            counts_h = runner.fetch(counts_d).reshape(-1)
+            grow_h = runner.grow_layout(
+                perm_ext, starts, row_block
+            ).reshape(-1)
+            over = (counts_h > K) & (grow_h < G)
+            if not np.any(over):
+                break
+            K = _next_pow2(int(counts_h[over].max()))
+            if K > 1024:
+                return None  # pathological: use the host cells path
+        grow_virt_h = grow_h
     _mark(f"extract(K={K})")
 
     if use_pallas:
-        pair_cap, chunk = runner.pair_capacity(counts_h, K)
-        fpi, fpj, fi, fp, ft, fv = runner.flatten_join(
-            grow_d, cand_d, counts_d, K, pair_cap, chunk
-        )
+        if use_ring:
+            # per-shard pair totals: rows are sharded contiguously on
+            # the second (S*n) axis, steps replicate on the first
+            nf3 = np.where(counts_h3 > K, 0, counts_h3)
+            per_shard_ring = (
+                nf3.reshape(ring_steps, n_dev, S, row_block)
+                .sum(axis=(0, 2, 3), dtype=np.int64)
+            )
+            from pandelos_tpu.ops import lane_join, pallas_join
+
+            worst = int(per_shard_ring.max(initial=0))
+            interpret = jax.default_backend() == "cpu"
+            full = (
+                lane_join._CHUNK
+                if runner.join_kernel in ("lane", "lane2")
+                else pallas_join._CHUNK
+            ) if not interpret else 256
+            pair_cap = _next_pow2(max(worst, pallas_join._PAIR_BLOCK))
+            chunk = min(full, pair_cap)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            grow_v = jax.device_put(
+                np.ascontiguousarray(grow_steps.astype(np.int32)),
+                NamedSharding(runner.mesh, P(None, runner.axis, None)),
+            )
+            fpi, fpj, fi, fp, ft, fv = runner.flatten_join(
+                grow_v, cand_d, counts_d, K, pair_cap, chunk, ring=True
+            )
+            grow_d = grow_v  # the BBH consumes the step-axis layout
+        else:
+            pair_cap, chunk = runner.pair_capacity(counts_h, K)
+            fpi, fpj, fi, fp, ft, fv = runner.flatten_join(
+                grow_d, cand_d, counts_d, K, pair_cap, chunk
+            )
         if _trace:
             np.asarray(fi[:8])  # sync point: isolates the join time
         _mark(f"flatten_join(pair_cap={pair_cap})")
@@ -638,16 +780,26 @@ def compute_network_device(
     # as safety.  (The old 8*G heuristic was exceeded on every
     # Mycoplasma-scale call, silently re-running the whole BBH program
     # at a doubled cap each time.)
-    nf_cap = np.minimum(counts_h, K)
-    per_shard_pairs = nf_cap.reshape(runner.n_dev, -1).sum(
-        axis=1, dtype=np.int64
-    )
+    if use_ring:
+        per_shard_pairs = per_shard_ring
+    else:
+        nf_cap = np.minimum(counts_h, K)
+        per_shard_pairs = nf_cap.reshape(runner.n_dev, -1).sum(
+            axis=1, dtype=np.int64
+        )
     edge_cap = max(
         1 << 14, _next_pow2(int(per_shard_pairs.max(initial=0)) // 2 + 1)
     )
+    # test hook: force a small initial cap so the doubling loop actually
+    # executes at scale (exercised by dryrun_multichip step 6)
+    cap_env = os.environ.get("PANDELOS_EDGE_CAP_INIT")
+    if cap_env:
+        edge_cap = _next_pow2(int(cap_env))
+    edge_cap_initial = edge_cap
     while True:
         fn = _bbh_program(
-            runner.mesh, runner.axis, n_gen, edge_cap, use_pallas
+            runner.mesh, runner.axis, n_gen, edge_cap, use_pallas,
+            ring_steps=ring_steps,
         )
         if use_pallas:
             outs = fn(
@@ -780,11 +932,14 @@ def compute_network_device(
         # ordered candidate pairs actually joined (work-model input for
         # the bench's VPU join-op accounting)
         "n_joined_pairs": int(
-            np.minimum(counts_h, K)[grow_h < G].sum(dtype=np.int64)
+            np.minimum(counts_h, K)[grow_virt_h < G].sum(dtype=np.int64)
         ),
         "device_bbh": True,
+        "ring_extract": bool(use_ring),
         "n_devices": runner.n_dev,
         "phase_s": dict(_phase_s),
+        "candidate_cap_final": int(K),
+        "edge_cap_initial": int(edge_cap_initial),
         "pair_cap": int(pair_cap) if use_pallas else None,
         "lane_D": int(runner.lane_D) if use_pallas else None,
         "lane_table_cols": (

@@ -451,8 +451,10 @@ def main() -> int:
         out = compute_network_device(index, config)
         timings["score_with_compile"] = time.monotonic() - t0
         if out is not None:
+            # best-of-3: tunnel-side jitter spreads single warm passes
+            # over 1.4-1.7s at m64 scale
             score_time = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.monotonic()
                 out = compute_network_device(index, config)
                 score_time = min(score_time, time.monotonic() - t0)

@@ -47,6 +47,16 @@ from pandelos_tpu.ops.exact_div import exact_div_f32
 _PROGRAMS: dict = {}
 
 
+def _no_stats() -> bool:
+    """PANDELOS_NO_PAIR_STATS=1 disables the per-genome-pair min/max
+    stats aggregation (print-only diagnostics in the reference,
+    Pangenes.java:130-143) — a perf lever for production runs that only
+    need the network; edges are unaffected."""
+    import os
+
+    return os.environ.get("PANDELOS_NO_PAIR_STATS") == "1"
+
+
 def _row_chunk(P: int) -> int:
     rc = min(1024, P)
     while P % rc:
@@ -237,7 +247,7 @@ def _bbh_local(
     # ::test_many_genomes_no_pair_stats).
     lt1v = jnp.where(accept & (score < 1.0), score, 0.0)
     acc_cell = accept & (cand_f > grow_f[:, None])
-    with_stats = n_gen <= 128
+    with_stats = n_gen <= 128 and not _no_stats()
     if with_stats:
         ap = jnp.where(
             perc_rk > 0,
@@ -386,7 +396,7 @@ def _bbh_flat_local(
     acc_cell = accept & (cf > gf[:, None])
     # same >128-genome stats degradation as _bbh_local (see the comment
     # there); edges are unaffected
-    with_stats = n_gen <= 128
+    with_stats = n_gen <= 128 and not _no_stats()
     if with_stats:
         # perc/tr fractions as EXACT IEEE quotients (host parity)
         apf = jnp.where(
@@ -947,7 +957,7 @@ def compute_network_device(
         ),
         "edge_cap": int(edge_cap),
     }
-    if n_gen <= 128 and n_acc_canonical > 0:
+    if n_gen <= 128 and not _no_stats() and n_acc_canonical > 0:
         acc_i = e_row[e_acc]
         acc_j = e_col[e_acc]
         asc = scores[e_acc].astype(np.float64)

@@ -43,6 +43,13 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
         help="run BBH network construction on device",
     )
     p.add_argument(
+        "--ring",
+        action="store_true",
+        help="ring-sharded signatures over the device mesh "
+        "(memory-scaling mode, needs --devices >= 2; composes with "
+        "--device-bbh)",
+    )
+    p.add_argument(
         "--report",
         action="store_true",
         help="also write <out>.report: the netclu per-family "
@@ -72,6 +79,8 @@ def _config_from_args(args) -> PipelineConfig:
         cfg.n_devices = args.devices
     if getattr(args, "device_bbh", False):
         cfg.device_bbh = True
+    if getattr(args, "ring", False):
+        cfg.ring_extract = True
     if getattr(args, "report", False):
         cfg.write_report = True
     return cfg

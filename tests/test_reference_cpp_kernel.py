@@ -121,13 +121,9 @@ def test_mycoplasma64_net_provenance_from_reference_kernel(tmp_path):
     assert filecmp.cmp(out, golden, shallow=False)
 
 
-@pytest.mark.skipif(
-    os.environ.get("PANDELOS_SLOW_TESTS") != "1",
-    reason="minutes-long full-scale oracle recompute; PANDELOS_SLOW_TESTS=1",
-)
 def test_mycoplasma64_cells_match_reference_kernel():
     """Flagship-preset cell bits: our oracle path vs the compiled
-    reference kernel, every cell bit-for-bit (slow: full 39.5k-gene
+    reference kernel, every cell bit-for-bit (~70s: full 39.5k-gene
     oracle scoring on host)."""
     faa = os.path.join(
         os.path.dirname(_HERE), "bench_cache", "mycoplasma64.faa"

@@ -596,6 +596,10 @@ def main() -> int:
             "pct_bf16_peak": round(100 * achieved_tflops / BF16_PEAK_TFLOPS, 1),
             "bound_matmul_tflop": round(wm["bound_matmul_flops"] / 1e12, 2),
             "join_vector_ops": int(join_ops),
+            "join_lane2_vector_ops": int(
+                wm.get("join_lane2_ops_per_pair", 0)
+                * stats.get("n_joined_pairs", 0)
+            ),
             "phase_s": phase_s or None,
             "roofline": roofline or None,
             "maxrss_mb": round(maxrss_mb, 1),

@@ -46,8 +46,8 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
         "--ring",
         action="store_true",
         help="ring-sharded signatures over the device mesh "
-        "(memory-scaling mode, needs --devices >= 2; composes with "
-        "--device-bbh)",
+        "(memory-scaling mode, needs --devices >= 2 and the pallas "
+        "backend; composes with --device-bbh)",
     )
     p.add_argument(
         "--report",

@@ -948,7 +948,20 @@ class MeshRunner:
         return T
 
     def use_bound_bits(self, starts_len: int, row_block: int) -> bool:
-        """T-mode gate: single device, T fits the HBM model's slack."""
+        """T-mode gate: single device, T fits the HBM model's slack.
+
+        DELIBERATELY single-device (the multi-device mesh keeps the
+        two-matmul bound pass, and the ring mode computes its bounds
+        in-program per column shard): T's halving trick reads the
+        SYMMETRIC closure ``T | T^T``, so a row-sharded T would need
+        every shard to read its COLUMN slab of every other shard's rows
+        — an [rows/n, rows] all-to-all per pass whose ICI bytes exceed
+        the matmul FLOPs saved, and the int8 T itself grows as rows^2
+        (the 4GB cap is already reached at ~3x Mycoplasma scale where
+        multi-device matters).  The asymmetry is accounted in
+        work_model (t_mode=False -> 2x bound_matmul_flops) and tested
+        by the multi-device paths in tests/test_net_device.py and
+        tests/test_multidevice_cells.py, which all run two-matmul."""
         return t_mode_enabled(
             self.n_dev, jax.process_count(), starts_len * row_block
         )

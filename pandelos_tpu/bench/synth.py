@@ -227,4 +227,8 @@ def generate(spec: SynthSpec) -> FaaDataset:
 
 
 def generate_preset(name: str) -> FaaDataset:
+    if name not in PRESETS:
+        raise ValueError(
+            f"unknown preset {name!r}; available: {', '.join(PRESETS)}"
+        )
     return generate(PRESETS[name])

@@ -121,7 +121,9 @@ def _last_device_capture():
     here = os.path.dirname(os.path.abspath(__file__))
     trials = sorted(
         glob.glob(os.path.join(here, "artifacts", "tpu_r*", "bench_trial*.json")),
-        key=os.path.getmtime,
+        # (mtime, path): path breaks mtime ties deterministically (a
+        # fresh checkout materializes every artifact at the same mtime)
+        key=lambda p: (os.path.getmtime(p), p),
     )
     if not trials:
         return None
@@ -199,7 +201,11 @@ def _watchdog_main() -> int:
         cache_empty = not (
             os.path.isdir(cdir) and any(os.scandir(cdir))
         )
-        warm_env = dict(env, BENCH_WARM="1")
+        # PT_TIMING gives the warm/cold pass real per-phase sync points
+        # (without them async dispatch attributes everything to the next
+        # fetching phase); the [pt:bbh] prints land on stdout but only
+        # the LAST line is parsed as JSON
+        warm_env = dict(env, BENCH_WARM="1", PT_TIMING="1")
         # an all-cold compile of the round-4 program set measured ~830s
         # on an erratic tunnel; 900s left no slack (one observed miss)
         warm_deadline = float(
@@ -254,7 +260,8 @@ def _watchdog_main() -> int:
 
                     tmp = tempfile.mkdtemp(prefix="pandelos_coldcache_")
                     cold_env = dict(
-                        env, BENCH_WARM="1", PANDELOS_JAX_CACHE=tmp
+                        env, BENCH_WARM="1", PANDELOS_JAX_CACHE=tmp,
+                        PT_TIMING="1",
                     )
                     crc, cline, _, _ = _run_child(
                         cold_env,

@@ -169,6 +169,20 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
 
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var (see
+    # bench.py / tests/conftest.py): honor an explicit CPU request
+    # in-process before the backend initializes, or a "CPU" run
+    # silently lands on the accelerator with a 1-device mesh.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     try:
         return _dispatch(args)
     except FileNotFoundError as e:

@@ -694,6 +694,16 @@ class MeshRunner:
         self.w_pad = padded.width
         self.G_pad = G_pad
         n_dev = max(1, _resolve_n_devices(config))
+        if n_dev > len(jax.devices()):
+            # jax.devices()[:n] silently truncates: the mesh would be
+            # smaller than every S/shard computation assumes, producing
+            # shape errors deep inside the programs
+            raise ValueError(
+                f"config requests n_devices={n_dev} but only "
+                f"{len(jax.devices())} JAX device(s) exist "
+                f"({jax.default_backend()}); on CPU set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N"
+            )
         self.n_dev = n_dev
         self.axis = config.mesh_axis
         self.mesh = Mesh(np.asarray(jax.devices()[:n_dev]), (self.axis,))
@@ -1059,11 +1069,11 @@ class MeshRunner:
             jnp.int32(self.G), jnp.float32(self.k2),
         )
 
-    def pair_capacity(self, counts_h: np.ndarray, cand_cap: int):
-        """(pair_cap, chunk) for flatten_join from the fetched per-row
-        candidate counts [S * n_dev * R]: the max per-shard total, rounded
-        to a power of two (bounded program variants), with the join chunk
-        capped at the Pallas expansion budget."""
+    def pair_capacity_from_worst(self, worst: int):
+        """(pair_cap, chunk) from the max per-shard pair total — the
+        single shared sizing rule (int32 guard, PT_JOIN_CHUNK override
+        validation, interpret-mode chunk) for the replicated, ring and
+        ring+BBH paths."""
         import os
 
         from pandelos_tpu.ops import lane_join, pallas_join
@@ -1076,17 +1086,18 @@ class MeshRunner:
         env_chunk = os.environ.get("PT_JOIN_CHUNK")
         if env_chunk:  # bench sweep override
             full_chunk = int(env_chunk)
-            # a chunk that is not a power of two or not a multiple of
-            # _PAIR_BLOCK would make the join's n_chunks floor-divide
+            # zero/negative, non-power-of-two or non-multiple-of-block
+            # chunks would make the join's n_chunks floor-divide
             # pair_cap, silently leaving trailing pairs un-joined
-            if full_chunk & (full_chunk - 1) or full_chunk % _PAIR_BLOCK:
+            if (
+                full_chunk <= 0
+                or full_chunk & (full_chunk - 1)
+                or full_chunk % _PAIR_BLOCK
+            ):
                 raise ValueError(
-                    f"PT_JOIN_CHUNK={full_chunk} must be a power of two "
-                    f"and a multiple of {_PAIR_BLOCK}"
+                    f"PT_JOIN_CHUNK={full_chunk} must be a positive power "
+                    f"of two and a multiple of {_PAIR_BLOCK}"
                 )
-        nf = np.where(counts_h > cand_cap, 0, counts_h)
-        per_shard = nf.reshape(self.n_dev, -1).sum(axis=1, dtype=np.int64)
-        worst = int(per_shard.max(initial=0))
         if worst >= 2**31:
             raise ValueError("pair list exceeds int32 indexing")
         interpret = jax.default_backend() == "cpu"
@@ -1094,6 +1105,15 @@ class MeshRunner:
         pair_cap = _next_pow2(max(worst, _PAIR_BLOCK))
         chunk = min(full, pair_cap)
         return pair_cap, chunk
+
+    def pair_capacity(self, counts_h: np.ndarray, cand_cap: int):
+        """(pair_cap, chunk) for flatten_join from the fetched per-row
+        candidate counts [S * n_dev * R]: the max per-shard total, rounded
+        to a power of two (bounded program variants), with the join chunk
+        capped at the Pallas expansion budget."""
+        nf = np.where(counts_h > cand_cap, 0, counts_h)
+        per_shard = nf.reshape(self.n_dev, -1).sum(axis=1, dtype=np.int64)
+        return self.pair_capacity_from_worst(int(per_shard.max(initial=0)))
 
 
 def get_runner(index: KmerIndex, padded, sig_mass, config,
@@ -1231,11 +1251,13 @@ def memory_model(
     }
 
 
-def check_hbm_fit(index: KmerIndex, config) -> None:
-    """Fail fast with an actionable message when the replicated engine's
-    per-device footprint exceeds the HBM model, instead of letting the
-    backend OOM mid-run.  ``PANDELOS_IGNORE_HBM_MODEL=1`` overrides (the
-    model is analytic, not measured)."""
+def check_hbm_fit(index: KmerIndex, config, ring=None) -> None:
+    """Fail fast with an actionable message when the engine's per-device
+    footprint exceeds the HBM model, instead of letting the backend OOM
+    mid-run.  ``ring`` says which engine the CALLER will actually run
+    (None: derive the device-BBH path's gate — ring_extract on a
+    multi-device pallas mesh).  ``PANDELOS_IGNORE_HBM_MODEL=1``
+    overrides (the model is analytic, not measured)."""
     import os
 
     if os.environ.get("PANDELOS_IGNORE_HBM_MODEL") == "1":
@@ -1243,25 +1265,46 @@ def check_hbm_fit(index: KmerIndex, config) -> None:
     if jax.default_backend() == "cpu":
         return  # host RAM, not HBM
     mm = memory_model(index, config)
-    if getattr(config, "ring_extract", False) and mm["n_devices"] > 1:
-        # ring mode (now composing with the device BBH too): the
-        # signature wall shards + rotates, so judge against ring_bytes
+    ring_engaged = (
+        ring
+        if ring is not None
+        else (
+            getattr(config, "ring_extract", False)
+            and mm["n_devices"] > 1
+            and getattr(config, "backend", None) == "pallas"
+        )
+    )
+    if ring_engaged:
+        # the signature wall shards + rotates: judge against ring_bytes
         if mm["fits_ring"]:
             return
     elif mm["fits_replicated"]:
         return
-    hint = (
-        "set config.ring_extract=True on a multi-device mesh "
-        "(signatures shard + rotate; composes with device_bbh; see "
-        "ops/ring.py)"
-        if mm["fits_ring"] and mm["n_devices"] > 1
-        and not getattr(config, "ring_extract", False)
-        else "this dataset exceeds even the ring mode's per-device "
-        "footprint (profiles replicate); shard the input by genome "
-        "subsets (cli reinput) or add devices"
-    )
+    if ring_engaged:
+        total = mm["ring_bytes_per_device"]
+        mode = "ring engine"
+        hint = (
+            "the replicated engine would fit "
+            f"(~{mm['replicated_bytes_per_device']/1e9:.1f}GB) — drop "
+            "config.ring_extract"
+            if mm["fits_replicated"]
+            else "shard the input by genome subsets (cli reinput) or "
+            "add devices"
+        )
+    else:
+        total = mm["replicated_bytes_per_device"]
+        mode = "replicated engine"
+        hint = (
+            "set config.ring_extract=True on a multi-device pallas mesh "
+            "(signatures shard + rotate; composes with device_bbh; see "
+            "ops/ring.py)"
+            if mm["fits_ring"] and mm["n_devices"] > 1
+            else "this dataset exceeds even the ring mode's per-device "
+            "footprint (profiles replicate); shard the input by genome "
+            "subsets (cli reinput) or add devices"
+        )
     raise MemoryError(
-        f"replicated engine needs ~{mm['replicated_bytes_per_device']/1e9:.1f}GB"
+        f"{mode} needs ~{total/1e9:.1f}GB"
         f"/device (budget {mm['hbm_budget_bytes']/1e9:.1f}GB): "
         f"sig {mm['sig_bytes']/1e9:.1f}GB + profiles "
         f"{mm['profile_bytes']/1e9:.1f}GB + lane "

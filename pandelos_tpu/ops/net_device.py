@@ -479,7 +479,11 @@ def _bbh_program(mesh, axis: str, n_gen: int, edge_cap: int, flat: bool,
     outputs (leading step axis, rows sharded on the second axis)."""
     from jax.sharding import PartitionSpec as P
 
-    key = ("bbh", mesh, axis, n_gen, edge_cap, flat, ring_steps)
+    # _no_stats() is traced into the program (with_stats), so it must
+    # key the cache too — an env flip mid-process must not reuse a
+    # program traced with the other stats mode
+    key = ("bbh", mesh, axis, n_gen, edge_cap, flat, ring_steps,
+           _no_stats())
     fn = _PROGRAMS.get(key)
     if fn is not None:
         return fn
@@ -604,16 +608,9 @@ def compute_network_device(
     if G == 0 or index.profile_ids.size == 0:
         return [], {"n_cells": 0}
 
-    use_pallas = config.backend == "pallas"
-    check_hbm_fit(index, config)
-    row_block = min(config.row_block, _round_up(G, 8))
-    col_block = min(config.col_block, _round_up(G, 128))
-    padded = pad_profiles(index, row_block, col_block)
-    _mark("setup.pad_profiles")
-    G_pad = padded.ids.shape[0]
-
     from pandelos_tpu.ops.candidate import _resolve_n_devices
 
+    use_pallas = config.backend == "pallas"
     # Ring composition (VERDICT r4 next #4): with config.ring_extract on
     # a multi-device mesh, the extraction column-shards + rotates the
     # signatures (ops/ring.py) instead of replicating them, and the BBH
@@ -623,6 +620,12 @@ def compute_network_device(
         and use_pallas
         and max(1, _resolve_n_devices(config)) >= 2
     )
+    check_hbm_fit(index, config, ring=use_ring)
+    row_block = min(config.row_block, _round_up(G, 8))
+    col_block = min(config.col_block, _round_up(G, 128))
+    padded = pad_profiles(index, row_block, col_block)
+    _mark("setup.pad_profiles")
+    G_pad = padded.ids.shape[0]
 
     if use_ring:
         from pandelos_tpu.ops.pallas_hist import pick_buckets
@@ -738,17 +741,9 @@ def compute_network_device(
                 nf3.reshape(ring_steps, n_dev, S, row_block)
                 .sum(axis=(0, 2, 3), dtype=np.int64)
             )
-            from pandelos_tpu.ops import lane_join, pallas_join
-
-            worst = int(per_shard_ring.max(initial=0))
-            interpret = jax.default_backend() == "cpu"
-            full = (
-                lane_join._CHUNK
-                if runner.join_kernel in ("lane", "lane2")
-                else pallas_join._CHUNK
-            ) if not interpret else 256
-            pair_cap = _next_pow2(max(worst, pallas_join._PAIR_BLOCK))
-            chunk = min(full, pair_cap)
+            pair_cap, chunk = runner.pair_capacity_from_worst(
+                int(per_shard_ring.max(initial=0))
+            )
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             grow_v = jax.device_put(
@@ -952,8 +947,13 @@ def compute_network_device(
         "edge_cap_initial": int(edge_cap_initial),
         "pair_cap": int(pair_cap) if use_pallas else None,
         "lane_D": int(runner.lane_D) if use_pallas else None,
+        # lane_table_cols only when the lane2 table actually exists —
+        # touching the lazy all_lane2 property under the lane/roll
+        # fallback would build an unused (and, for unpackable counts,
+        # overflowing) second table on device
         "lane_table_cols": (
-            int(runner.all_lane2.shape[1]) if use_pallas else None
+            int(runner.all_lane2.shape[1])
+            if use_pallas and runner.join_kernel == "lane2" else None
         ),
         "edge_cap": int(edge_cap),
     }

@@ -208,6 +208,9 @@ def compute_cells_ring(
         raise ValueError(
             "ring extraction needs a multi-device mesh (n_devices >= 2)"
         )
+    from pandelos_tpu.ops.candidate import check_hbm_fit
+
+    check_hbm_fit(index, config, ring=True)
 
     row_block = min(config.row_block, _round_up(G, 8))
     col_block = min(config.col_block, _round_up(G, 128))

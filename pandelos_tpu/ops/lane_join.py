@@ -404,9 +404,12 @@ def join_pairs_lane_device(all_lane, a_idx, b_idx, D, chunk, interpret=False):
 #
 # - loop bounds come from PER-GENE lane depths (host bincount, prefetched
 #   per octet as scalars) instead of per-pair id-range windows — zero
-#   in-kernel reductions.  The flat pair list is sorted by (Da, Db) so
-#   octets are depth-homogeneous and the max-of-8 bound is tight; most
-#   octets run ~Da*Db ~ 10-40 single-compare steps.
+#   in-kernel reductions.  The flat pair order is already depth-coherent
+#   (rows run in profile-width order, candidates ascend within a row —
+#   round 5 dropped the explicit (Da, Db) device sort: +19% octet-steps
+#   against ~90ms of argsorts and permutation gathers), so the max-of-8
+#   bound stays tight; most octets run ~Da*Db ~ 10-45 single-compare
+#   steps.
 # - table entries pack to id << 8 | count (empty -256): half the gather
 #   bytes, equality is one xor+shift, counts one mask.
 
